@@ -1,0 +1,23 @@
+"""multih-tpu: TPU-native multi-homography recovery (JAX/XLA/Pallas).
+
+A ground-up rebuild of the capabilities of the reference C++ codebase
+``danini/multi-h`` (SURVEY.md; BASELINE.json:5): given stereo point
+correspondences, recover multiple homographies (scene planes) and a
+per-correspondence plane label via hypothesize -> verify -> PEARL-style
+alternating optimization — designed TPU-first, not translated.
+"""
+
+from multih_tpu.config import MultiHConfig, DEFAULT
+from multih_tpu.models.pipeline import FitResult, fit, make_fit, pad_points
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MultiHConfig",
+    "DEFAULT",
+    "FitResult",
+    "fit",
+    "make_fit",
+    "pad_points",
+    "__version__",
+]

@@ -1,0 +1,211 @@
+"""Command-line interface — the reference's ``main()`` contract (SURVEY.md
+§2 C1, §3.1): correspondences in, per-point plane labels + homographies out,
+with misclassification error printed when ground truth is available.
+
+Input formats (reference C13): AdelaideRMF ``.mat`` or whitespace text
+``x y x' y' [gt_label]``. Parameters mirror the reference CLI: inlier
+threshold, smoothness weight (lambda), label cost (beta), iteration caps
+(SURVEY.md §5 'Config / flag system').
+
+Example:
+    multih fit data/johnsona.mat --threshold 3.0 --lambda 0.3
+    multih synth --planes 3 --points 600 --noise 0.5
+    multih bench-adelaide path/to/adelaide_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_config(args) -> "MultiHConfig":
+    from multih_tpu.config import MultiHConfig
+
+    n = args.n_points_hint
+    max_points = 1 << max(6, (n - 1).bit_length())  # next pow2 bucket >= n
+    return MultiHConfig(
+        inlier_threshold=args.threshold,
+        spatial_weight=args.spatial_weight,
+        label_cost=args.label_cost,
+        max_points=max_points,
+        n_hypotheses=args.hypotheses,
+        max_labels=args.max_labels,
+        pearl_iterations=args.iterations,
+        min_inliers=args.min_inliers,
+        residual=args.residual,
+    )
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--threshold", type=float, default=3.0,
+                   help="inlier threshold in px (tau)")
+    p.add_argument("--spatial-weight", "--lambda", dest="spatial_weight",
+                   type=float, default=0.3, help="Potts smoothness weight")
+    p.add_argument("--label-cost", "--beta", dest="label_cost", type=float,
+                   default=30.0, help="per-plane label cost")
+    p.add_argument("--hypotheses", type=int, default=2048)
+    p.add_argument("--max-labels", type=int, default=16)
+    p.add_argument("--iterations", type=int, default=8,
+                   help="PEARL alternation count")
+    p.add_argument("--min-inliers", type=int, default=10)
+    p.add_argument("--residual", default="symmetric",
+                   choices=["symmetric", "transfer", "sampson"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu)")
+    p.add_argument("--json", action="store_true",
+                   help="emit machine-readable JSON on stdout")
+    p.add_argument("--save-labels", default=None,
+                   help="write per-point labels to this file")
+
+
+def _setup_jax(platform):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    return jax
+
+
+def _fit_one(cs, args):
+    import numpy as np
+
+    args.n_points_hint = cs.n_points
+    cfg = _build_config(args)
+    jax = _setup_jax(args.platform)
+    import multih_tpu
+    from multih_tpu.utils import evaluation
+
+    if cs.gt_labels is not None:
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+        )
+    else:
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, cfg.max_points
+        )
+        gt = None
+
+    f = multih_tpu.make_fit(cfg)
+    key = jax.random.key(args.seed)
+    t0 = time.perf_counter()
+    res = f(x1, x2, valid, key)
+    jax.block_until_ready(res.labels)
+    t_total = time.perf_counter() - t0
+    # steady-state latency (compiled)
+    t0 = time.perf_counter()
+    res = f(x1, x2, valid, key)
+    jax.block_until_ready(res.labels)
+    t_warm = time.perf_counter() - t0
+
+    labels = np.asarray(res.labels)[: cs.n_points]
+    active = np.asarray(res.active)
+    out = {
+        "name": cs.name,
+        "n_points": cs.n_points,
+        "n_planes_found": int(active.sum()),
+        "support": np.asarray(res.support)[active > 0].tolist(),
+        "energy": float(np.asarray(res.energy)),
+        "time_total_s": round(t_total, 4),
+        "time_warm_s": round(t_warm, 4),
+    }
+    if gt is not None:
+        out["misclassification_pct"] = evaluation.misclassification_error(
+            labels, gt[: cs.n_points], cfg.max_labels
+        )
+    homos = np.asarray(res.homographies)[active > 0]
+
+    if args.json:
+        out["homographies"] = homos.tolist()
+        print(json.dumps(out))
+    else:
+        print(f"pair: {out['name']}  points: {out['n_points']}")
+        print(f"planes found: {out['n_planes_found']}  "
+              f"support: {out['support']}")
+        if "misclassification_pct" in out:
+            print(f"misclassification: {out['misclassification_pct']:.2f}%")
+        print(f"energy: {out['energy']:.2f}  warm latency: "
+              f"{out['time_warm_s']*1e3:.2f} ms")
+        for i, h in enumerate(homos):
+            print(f"H[{i}] =")
+            for row in h:
+                print("   ", " ".join(f"{v:+.6e}" for v in row))
+    if args.save_labels:
+        np.savetxt(args.save_labels, labels, fmt="%d")
+    return out
+
+
+def cmd_fit(args):
+    from multih_tpu.utils import data
+
+    if args.input.endswith(".mat"):
+        cs = data.load_adelaide_mat(args.input)
+    else:
+        cs = data.load_correspondences_txt(args.input)
+    _fit_one(cs, args)
+
+
+def cmd_synth(args):
+    from multih_tpu.utils import data
+
+    cs, _ = data.synthetic_scene(
+        n_points=args.points, n_planes=args.planes,
+        outlier_rate=args.outliers, noise_px=args.noise, seed=args.seed,
+    )
+    _fit_one(cs, args)
+
+
+def cmd_bench_adelaide(args):
+    import numpy as np
+
+    from multih_tpu.utils import data
+
+    paths = data.adelaide_pairs(args.root)
+    if not paths:
+        print(f"no AdelaideRMF .mat files found under {args.root}",
+              file=sys.stderr)
+        sys.exit(1)
+    errs = []
+    for p in paths:
+        cs = data.load_adelaide_mat(p)
+        out = _fit_one(cs, args)
+        errs.append(out.get("misclassification_pct", float("nan")))
+    print(f"mean misclassification over {len(errs)} pairs: "
+          f"{np.nanmean(errs):.2f}%")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="multih",
+        description="TPU-native multi-homography recovery (Multi-H rebuild)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_fit = sub.add_parser("fit", help="fit one correspondence file")
+    p_fit.add_argument("input", help=".mat (AdelaideRMF) or text x y x' y'")
+    _add_common(p_fit)
+    p_fit.set_defaults(fn=cmd_fit)
+
+    p_sy = sub.add_parser("synth", help="fit a synthetic scene")
+    p_sy.add_argument("--points", type=int, default=500)
+    p_sy.add_argument("--planes", type=int, default=2)
+    p_sy.add_argument("--outliers", type=float, default=0.1)
+    p_sy.add_argument("--noise", type=float, default=0.5)
+    _add_common(p_sy)
+    p_sy.set_defaults(fn=cmd_synth)
+
+    p_b = sub.add_parser("bench-adelaide",
+                         help="run the 19-pair AdelaideRMF benchmark")
+    p_b.add_argument("root", help="directory containing the .mat files")
+    _add_common(p_b)
+    p_b.set_defaults(fn=cmd_bench_adelaide)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Configuration for the Multi-H TPU pipeline.
+
+The reference (danini/multi-h, C++) exposes its parameters as CLI args and
+compile-time constants parsed in ``src/main.cpp`` (SURVEY.md §5 "Config /
+flag system"; the reference mount was empty this session — see SURVEY.md §0 —
+so defaults follow the Multi-H BMVC 2016 paper and BASELINE.json:5).
+
+Everything here is a frozen (hashable) dataclass so a config instance can be
+passed as a static argument to ``jax.jit`` — all shapes and loop trip counts
+derived from it are compile-time constants, as required for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiHConfig:
+    """All tunables of the pipeline. Mirrors the reference CLI 1:1 in spirit:
+    inlier threshold / smoothness weight / label cost / iteration caps
+    (SURVEY.md §5), plus the TPU-specific static-shape knobs the reference
+    does not need (padded sizes, fixed iteration counts).
+    """
+
+    # --- geometry / residuals (reference C6) ---
+    inlier_threshold: float = 3.0       # px; squared internally
+    residual: Literal["symmetric", "transfer", "sampson"] = "symmetric"
+
+    # --- hypothesis generation (reference C5) ---
+    n_hypotheses: int = 2048            # minimal 4-pt samples per fit
+    max_points: int = 512               # padded correspondence count N
+
+    # --- candidate selection / mode-seeking analog (reference C7) ---
+    n_candidates: int = 256             # top-M hypotheses kept for NMS
+    lo_rounds: int = 3                  # LO refit rounds on the top-M
+                                        # (thresholds shrink 4t, 2t, t)
+    max_labels: int = 16                # K: max simultaneous planes
+    nms_iou: float = 0.8                # inlier-set IoU above which a
+                                        # hypothesis is a duplicate
+    merge_iou: float = 0.5              # post-refit plane merge threshold
+
+    # --- neighborhood graph (reference C8) ---
+    knn_k: int = 6                      # spatial neighbors per point
+
+    # --- PEARL energy (reference C9/C10, gco alpha-expansion analog) ---
+    spatial_weight: float = 0.2         # lambda: Potts smoothness weight
+                                        # (swept on synthetic scenes; see
+                                        # tools/ parity tuning)
+    label_cost: float = 30.0            # beta: per-active-label penalty
+    outlier_cost: float = 1.0           # data cost of the outlier label,
+                                        # in units of truncated residual cost
+    pearl_iterations: int = 8           # outer alternation count (fixed)
+    meanfield_iterations: int = 10      # inner mean-field sweeps (fixed)
+    icm_iterations: int = 4             # ICM polish sweeps (fixed)
+    temperature: float = 0.25           # final mean-field temperature
+    temperature_start: float = 2.0      # annealed from this
+    min_inliers: int = 10               # drop planes smaller than this
+
+    # --- numerics ---
+    dtype: Literal["float32"] = "float32"
+    # "eigh" = XLA's native symmetric eigensolver: small HLO graph (fast
+    # compile) and fast at refit-scale batches. "jacobi" = the unrolled
+    # fixed-sweep solver (the Pallas-kernel algorithm) — use for very large
+    # batches or kernels. Minimal solves don't use this (they go through
+    # the Givens-QR nullspace path).
+    eig_method: Literal["eigh", "jacobi", "inverse_iteration"] = "eigh"
+    eig_iterations: int = 6             # Jacobi sweeps / inverse-iter steps
+
+    # --- execution ---
+    use_pallas: bool = False            # route hot ops through Pallas kernels
+    residual_chunk: int = 512           # hypothesis-axis tile for the
+                                        # residual sweep (bounds memory)
+
+    def __post_init__(self):
+        if self.n_candidates > self.n_hypotheses:
+            object.__setattr__(self, "n_candidates", self.n_hypotheses)
+        if self.max_labels > self.n_candidates:
+            raise ValueError("max_labels must be <= n_candidates")
+
+
+DEFAULT = MultiHConfig()

@@ -1,0 +1,281 @@
+"""Spatially-regularized multi-label assignment (the PEARL labeling step).
+
+The reference minimizes E(L) = sum data(p, H_L(p)) + lambda * Potts over a
+spatial neighbor graph + beta * |labels| with gco-v3.0 alpha-expansion
+(SURVEY.md §2 C8-C11, §3.3; gco itself is vendored C++ built on BK maxflow).
+Graph cuts are inherently sequential and host-bound, so the TPU rebuild uses
+the contract from BASELINE.json:5: a fixed-iteration annealed mean-field
+relaxation of the same energy over a precomputed k-NN graph, followed by an
+ICM (iterated conditional modes) polish — all dense tensor ops with static
+trip counts, living inside the same jit as the rest of the pipeline. Label
+costs are handled PEARL-style at the outer loop (support-based pruning via
+an active-label mask), not inside the relaxation.
+
+Energy convention: data costs are truncated at 1.0 (the cost of the outlier
+label times cfg.outlier_cost); labels are 0..K-1 = planes, K = outlier.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# k-NN neighborhood graph (reference C8: Delaunay/k-NN over keypoints)
+# ---------------------------------------------------------------------------
+
+def knn_graph(pts: jax.Array, valid: jax.Array, k: int):
+    """Spatial k-NN over the first-image keypoint positions.
+
+    Dense (N, N) distance computation via the |a-b|^2 = |a|^2 + |b|^2 - 2ab
+    matmul identity (MXU), then top-k. Padded points never appear as
+    neighbors; their own neighbor rows are harmless self-loops with zero
+    weight.
+
+    Returns (nbr_idx (N, k) int32, nbr_w (N, k) float): neighbor indices and
+    {0,1} edge weights (0 for edges into padding or from padding).
+    """
+    n = pts.shape[0]
+    sq = jnp.sum(pts * pts, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        pts, pts.T, preferred_element_type=jnp.float32
+    )
+    big = jnp.asarray(1e30, d2.dtype)
+    d2 = d2 + jnp.where(valid[None, :] > 0, 0.0, big)  # exclude padding
+    d2 = d2 + big * jnp.eye(n, dtype=d2.dtype)  # exclude self
+    neg_d2, nbr_idx = jax.lax.top_k(-d2, k)
+    edge_real = (-neg_d2 < big * 0.5).astype(pts.dtype)
+    nbr_w = edge_real * valid[:, None]
+    return nbr_idx.astype(jnp.int32), nbr_w
+
+
+# ---------------------------------------------------------------------------
+# energy terms
+# ---------------------------------------------------------------------------
+
+def data_costs(
+    residuals: jax.Array,
+    valid: jax.Array,
+    threshold_sq: jax.Array,
+    outlier_cost: float,
+    active: jax.Array,
+) -> jax.Array:
+    """(K, N) plane residuals -> (N, K+1) data-cost matrix.
+
+    Cost of plane l at point p = min(r^2 / tau^2, 8) * outlier_cost — the
+    truncated quadratic the reference feeds gco's setDataCost (SURVEY.md
+    §3.3). The cost crosses outlier_cost exactly at r = tau, and the
+    truncation ceiling must stay well above outlier_cost + max Potts pull
+    (lambda * degree), otherwise gross outliers embedded inside a plane's
+    spatial cluster get absorbed by the smoothness term — with ceiling 8x,
+    smoothness can only sway genuinely borderline points. Inactive labels
+    cost +big so the relaxation never assigns them (pruning-by-mask, never
+    by shape). Padded points get uniform zero cost (they never influence
+    anything else because their graph edges carry zero weight).
+    """
+    k, n = residuals.shape
+    plane = (
+        jnp.minimum(residuals / threshold_sq, 8.0).T * outlier_cost
+    )  # (N, K): cost == outlier_cost exactly at r = tau
+    plane = plane + (1.0 - active)[None, :] * 1e6
+    out = jnp.full((n, 1), outlier_cost, residuals.dtype)
+    d = jnp.concatenate([plane, out], axis=1)
+    return d * valid[:, None]
+
+
+def potts_energy(
+    labels: jax.Array, nbr_idx: jax.Array, nbr_w: jax.Array
+) -> jax.Array:
+    """lambda-free Potts term: sum over directed edges w * [l_p != l_q] / 2
+    (each undirected edge counted once in expectation)."""
+    diff = (labels[:, None] != labels[nbr_idx]).astype(nbr_w.dtype)
+    return 0.5 * jnp.sum(diff * nbr_w)
+
+
+def total_energy(
+    labels: jax.Array,
+    dcost: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    label_cost: float,
+    active: jax.Array,
+) -> jax.Array:
+    """E(L) exactly as the reference's PEARL objective (SURVEY.md §2 C9)."""
+    point_cost = jnp.take_along_axis(dcost, labels[:, None], axis=1)[:, 0]
+    e_data = jnp.sum(point_cost)
+    e_smooth = spatial_weight * potts_energy(labels, nbr_idx, nbr_w)
+    n_labels = labels.shape[0]
+    k = dcost.shape[1] - 1
+    used = jnp.zeros((k + 1,)).at[labels].add(jnp.ones((n_labels,)))
+    e_label = label_cost * jnp.sum((used[:k] > 0) * (active > 0))
+    return e_data + e_smooth + e_label
+
+
+# ---------------------------------------------------------------------------
+# mean-field relaxation + ICM polish (replaces gco alpha-expansion)
+# ---------------------------------------------------------------------------
+
+def _neighbor_agreement(p: jax.Array, nbr_idx: jax.Array, nbr_w: jax.Array):
+    """Expected same-label mass each point receives over the *symmetrized*
+    directed k-NN graph: 0.5 * (sum over own edges + sum over reverse
+    edges). k-NN is asymmetric; counting both directions makes the local
+    conditionals consistent with the global energy (which counts every
+    directed edge at weight w/2), exactly like the reference's symmetric
+    Delaunay adjacency does by construction.
+
+    p: (N, L) marginals or one-hot labels. Returns (N, L)."""
+    direct = jnp.einsum("nkl,nk->nl", p[nbr_idx], nbr_w)
+    contrib = (nbr_w[..., None] * p[:, None, :]).reshape(-1, p.shape[1])
+    rev = jnp.zeros_like(p).at[nbr_idx.reshape(-1)].add(contrib)
+    return 0.5 * (direct + rev)
+
+
+def _degree(nbr_idx: jax.Array, nbr_w: jax.Array, dtype):
+    """Symmetrized degree: total edge weight incident to each point under
+    the same 0.5*(direct+reverse) convention."""
+    n = nbr_idx.shape[0]
+    direct = jnp.sum(nbr_w, axis=1)
+    rev = jnp.zeros((n,), dtype).at[nbr_idx.reshape(-1)].add(
+        nbr_w.reshape(-1)
+    )
+    return (0.5 * (direct + rev))[:, None]
+
+def mean_field(
+    dcost: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    iterations: int,
+    temp_start: float,
+    temp_end: float,
+    q_init: jax.Array | None = None,
+) -> jax.Array:
+    """Annealed mean-field for the Potts MRF.
+
+    Update: q_p(l) ∝ exp(-(D_pl + lambda * sum_q w_pq (1 - q_q(l))) / T),
+    with T annealed geometrically from temp_start to temp_end over the fixed
+    iteration count. The per-iteration work is one gather over the k-NN
+    graph plus elementwise math — the TPU replacement for one full
+    alpha-expansion cycle (maxflow per label) in the reference.
+
+    Returns q: (N, L) marginals.
+    """
+    n, l = dcost.shape
+
+    if q_init is None:
+        q = jax.nn.softmax(-dcost, axis=1)
+    else:
+        q = q_init
+
+    if iterations <= 1:
+        temps = jnp.full((max(iterations, 1),), temp_end, dcost.dtype)
+    else:
+        ratio = (temp_end / temp_start) ** (1.0 / (iterations - 1))
+        temps = temp_start * ratio ** jnp.arange(iterations, dtype=dcost.dtype)
+
+    deg = _degree(nbr_idx, nbr_w, dcost.dtype)  # (N, 1)
+
+    def body(q, temp):
+        agree = _neighbor_agreement(q, nbr_idx, nbr_w)  # (N, L)
+        # pairwise expected cost of choosing l: lambda * (deg - agreement)
+        pair = spatial_weight * (deg - agree)
+        q_new = jax.nn.softmax(-(dcost + pair) / temp, axis=1)
+        return q_new, None
+
+    q, _ = jax.lax.scan(body, q, temps)
+    return q
+
+
+def icm(
+    labels: jax.Array,
+    dcost: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    iterations: int,
+) -> jax.Array:
+    """Red-black ICM sweeps: each point moves to its locally cheapest label
+    given the current neighbor labels, updating the two index-parity classes
+    alternately and only on strict improvement. Fully synchronous ICM
+    oscillates at strong coupling (the parallel-update analog of
+    alpha-expansion's move cycling); half-sweeps with an improvement gate
+    break the flip-flops while staying branch-free and vmappable."""
+    n, l = dcost.shape
+    deg = _degree(nbr_idx, nbr_w, dcost.dtype)
+    parity = jnp.arange(n) % 2
+
+    def half(labels, par):
+        onehot = jax.nn.one_hot(labels, l, dtype=dcost.dtype)  # (N, L)
+        agree = _neighbor_agreement(onehot, nbr_idx, nbr_w)
+        cost = dcost + spatial_weight * (deg - agree)
+        new = jnp.argmin(cost, axis=1)
+        cur_c = jnp.take_along_axis(cost, labels[:, None], axis=1)[:, 0]
+        new_c = jnp.take_along_axis(cost, new[:, None], axis=1)[:, 0]
+        move = (new_c < cur_c - 1e-6) & (parity == par)
+        return jnp.where(move, new, labels)
+
+    def body(i, labels):
+        labels = half(labels, 0)
+        labels = half(labels, 1)
+        return labels
+
+    labels = jax.lax.fori_loop(0, iterations, body, labels)
+
+    # expansion-style escape for the strong-coupling regime: single-point
+    # moves cannot dissolve mutually-supporting islands, but the constant
+    # labelings (zero Potts energy) are trivial to score — adopt the best
+    # one if it beats the current state (alpha-expansion finds these moves
+    # through maxflow; here they are a closed form).
+    e_cur = (
+        jnp.sum(jnp.take_along_axis(dcost, labels[:, None], 1)[:, 0])
+        + spatial_weight * potts_energy(labels, nbr_idx, nbr_w)
+    )
+    e_const = jnp.sum(dcost, axis=0)  # (L,)
+    best = jnp.argmin(e_const)
+    return jnp.where(
+        e_const[best] < e_cur, jnp.full_like(labels, best), labels
+    )
+
+
+def mrf_energy(
+    labels: jax.Array,
+    dcost: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+) -> jax.Array:
+    """data + lambda*Potts energy of a labeling (no label-cost term)."""
+    point = jnp.take_along_axis(dcost, labels[:, None], axis=1)[:, 0]
+    return jnp.sum(point) + spatial_weight * potts_energy(
+        labels, nbr_idx, nbr_w
+    )
+
+
+def best_labeling(
+    starts: list[jax.Array],
+    dcost: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    icm_iterations: int,
+) -> jax.Array:
+    """Run ICM from several start labelings and return the lowest-energy
+    result — a restart strategy standing in for alpha-expansion's larger
+    move space. Branch-free: all starts are polished, the winner selected
+    with a where."""
+    polished = [
+        icm(s, dcost, nbr_idx, nbr_w, spatial_weight, icm_iterations)
+        for s in starts
+    ]
+    energies = jnp.stack(
+        [
+            mrf_energy(p, dcost, nbr_idx, nbr_w, spatial_weight)
+            for p in polished
+        ]
+    )
+    stacked = jnp.stack(polished)  # (n_starts, N)
+    return stacked[jnp.argmin(energies)]

@@ -1,0 +1,383 @@
+"""The Multi-H pipeline: one jitted ``fit()`` from correspondences to
+(per-point plane labels, homographies).
+
+Reference equivalent: ``MultiH::run`` (SURVEY.md §2 C2, §3.1) — generate
+hypotheses, collapse them to plane candidates, then PEARL-alternate labeling
+and refitting until convergence. The reference runs these as sequential C++
+loops with a graph-cut solver in the middle; here every stage is a
+static-shape tensor program and the whole thing is a single XLA computation:
+host -> device once at entry, device -> host once at exit (SURVEY.md §3.1,
+BASELINE.json:5).
+
+Stage map (reference component -> here):
+  C5  hypothesis generation  -> threefry sampling + vmapped 4pt DLT
+  C6  residual verification  -> chunked hypotheses x points contraction
+  C7  mode-seeking           -> top-M + inlier-IoU NMS (selection.py)
+  C9/C10 PEARL + alpha-exp   -> annealed mean-field + ICM (labeling.py)
+  C12 LO refit               -> batched masked weighted DLT, all planes at
+                                once, with an accept-if-better guard
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multih_tpu.config import MultiHConfig
+from multih_tpu.models import labeling, selection
+from multih_tpu.ops import geometry, sampling
+
+
+class FitResult(NamedTuple):
+    """What the reference CLI prints/draws, as arrays (SURVEY.md §2 C1)."""
+
+    labels: jax.Array          # (N,) int32 in [0, K]; K = outlier label
+    homographies: jax.Array    # (K, 3, 3) float32, ||H||_F = 1
+    active: jax.Array          # (K,) float {0,1} — which planes survived
+    support: jax.Array         # (K,) float — inlier count per plane
+    energy: jax.Array          # scalar — final PEARL energy
+    energy_trace: jax.Array    # (pearl_iterations,) energy after each iter
+    n_hypotheses_ok: jax.Array # scalar — non-degenerate hypothesis count
+
+
+def pad_points(x1, x2, gt_labels=None, max_points: int = 512):
+    """Host-side helper: pad (n, 2) correspondence arrays to the static
+    max_points with a validity mask. Reference C13 reads variable-length
+    files; XLA needs static shapes (SURVEY.md §7 'dynamic shapes')."""
+    import numpy as np
+
+    n = x1.shape[0]
+    if n > max_points:
+        raise ValueError(f"{n} points > max_points={max_points}")
+    pad = max_points - n
+    x1p = np.pad(np.asarray(x1, np.float32), ((0, pad), (0, 0)))
+    x2p = np.pad(np.asarray(x2, np.float32), ((0, pad), (0, 0)))
+    valid = np.zeros((max_points,), np.float32)
+    valid[:n] = 1.0
+    out = (x1p, x2p, valid)
+    if gt_labels is not None:
+        out = out + (np.pad(np.asarray(gt_labels, np.int32), (0, pad),
+                            constant_values=-1),)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
+    """C5: threefry-sampled minimal 4-pt DLT solves, fully vmapped.
+    Half the pool is uniform samples, half locality-biased (neighbor-seeded)
+    — the latter mirrors the reference's per-point local hypotheses
+    (Multi-H paper §3.1) and dominates on real scenes."""
+    s = cfg.n_hypotheses
+    k_u, k_l = jax.random.split(key)
+    s_local = s // 2
+    idx_u = sampling.sample_indices(k_u, s - s_local, valid > 0)
+    idx_l = sampling.localized_sample_indices(
+        k_l, s_local, valid > 0, nbr_idx
+    )
+    idx = jnp.concatenate([idx_u, idx_l], axis=0)  # (S, 4)
+    p1 = x1[idx]  # (S, 4, 2)
+    p2 = x2[idx]
+    Hs = geometry.homography_4pt_batch_qr(p1, p2)
+    degenerate = geometry.quad_degenerate_batch(p1, 1e-4) | \
+        geometry.quad_degenerate_batch(p2, 1e-4)
+    # samples touching padded points are invalid too
+    uses_pad = jnp.any(valid[idx] == 0, axis=1)
+    ok = jnp.logical_not(degenerate | uses_pad).astype(x1.dtype)
+    return Hs, ok
+
+
+def count_inliers_chunked(Hs, x1, x2, valid, cfg: MultiHConfig):
+    """C6 over the full pool without materializing (S, N): scan hypothesis
+    chunks, reduce each to an inlier count immediately."""
+    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    s = Hs.shape[0]
+    chunk = min(cfg.residual_chunk, s)
+    pad = (-s) % chunk
+    Hp = jnp.concatenate(
+        [Hs, jnp.broadcast_to(jnp.eye(3, dtype=Hs.dtype), (pad, 3, 3))]
+    ) if pad else Hs
+
+    def per_chunk(h):
+        r = geometry.residual_matrix(h, x1, x2, cfg.residual)
+        return jnp.sum((r < thr).astype(x1.dtype) * valid[None, :], axis=1)
+
+    counts = jax.lax.map(per_chunk, Hp.reshape(-1, chunk, 3, 3))
+    return counts.reshape(-1)[:s]
+
+
+def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig):
+    """C12: re-estimate every plane's H from its currently assigned points,
+    all planes in one batched weighted DLT.
+
+    Assignment alone is not enough: the labeling absorbs some true outliers
+    (they happen to sit within tau), and unweighted LSQ lets them bias the
+    plane. The reference refits on *inliers* of each plane (SURVEY.md §3.4);
+    here the membership weight is additionally gated by the current residual
+    and shaped by a Tukey-biweight falloff, which is both more robust and
+    free on TPU (elementwise math feeding the same weighted-DLT reduction).
+    Planes with too few members keep their previous H.
+    """
+    k = cfg.max_labels
+    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    member = (
+        jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k] * valid[:, None]
+    )  # (N, K)
+    support = jnp.sum(member, axis=0)  # (K,)
+    rr = jnp.clip(residuals.T / thr, 0.0, 1.0)  # (N, K)
+    tukey = (1.0 - rr) ** 2 * (residuals.T < thr)
+    w = member * tukey
+
+    def refit_one(w_l, H_old, sup):
+        H_new = geometry.homography_from_points(
+            x1, x2, w_l, cfg.eig_method, cfg.eig_iterations
+        )
+        return jnp.where(sup >= 4.0, H_new, H_old)
+
+    eff_support = jnp.sum((w > 0).astype(x1.dtype), axis=0)
+    Hs_new = jax.vmap(refit_one)(w.T, Hs, eff_support)
+    return Hs_new, support
+
+
+def merge_duplicate_planes(r, support, active, thr, merge_iou: float):
+    """Deactivate planes whose inlier sets duplicate a stronger plane's.
+
+    Refit makes each fragment's H global over its plane, so fragments of
+    the same physical plane converge to near-identical inlier sets — the
+    TPU-side completion of the reference's parameter-space mode-seeking
+    (C7): detect duplicates by inlier-IoU (one K x K matmul) and keep the
+    best-supported representative. Greedy keep-order by support, like
+    selection NMS.
+    """
+    k = r.shape[0]
+    masks = (r < thr).astype(r.dtype) * active[:, None]  # (K, N)
+    counts = jnp.sum(masks, axis=1)
+    inter = jnp.dot(masks, masks.T, preferred_element_type=jnp.float32)
+    union = counts[:, None] + counts[None, :] - inter
+    iou = inter / jnp.maximum(union, 1.0)
+    order = jnp.argsort(-counts)  # strongest first
+
+    pos = jnp.argsort(order)  # pos[l] = rank of plane l (0 = strongest)
+
+    def body(i, keep):
+        l = order[i]
+        # killed if any kept, strictly stronger plane overlaps it
+        earlier = pos < pos[l]
+        dup = jnp.any(earlier & (keep > 0) & (iou[l] >= merge_iou))
+        return keep.at[l].set(jnp.where(dup, 0.0, keep[l]))
+
+    return jax.lax.fori_loop(0, k, body, active)
+
+
+def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int):
+    """LO-RANSAC-style candidate growth (reference C12 as used inside C7):
+    minimal-sample hypotheses — especially the locality-biased ones — are
+    only accurate near their sample; refitting each candidate on its own
+    Tukey-weighted inliers turns a local fragment into a global plane
+    estimate, multiplying its inlier count before selection ever happens.
+    Rounds run with a geometrically shrinking inlier threshold
+    (4tau -> 2tau -> tau for 3 rounds), the classic LO-RANSAC schedule: the
+    wide first round captures the plane's full extent despite the seed's
+    local bias, later rounds sharpen. All candidates refit in one batched
+    weighted DLT per round; a keep-if-better guard (at the final tau) makes
+    the sequence monotone in true inlier count."""
+    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+
+    def count(r):
+        return jnp.sum((r < thr) * valid[None, :], axis=1)
+
+    def one_round(Hs, mult):
+        thr_r = thr * mult
+        r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+        rr = jnp.clip(r / thr_r, 0.0, 1.0)
+        w = ((1.0 - rr) ** 2 * (r < thr_r)) * valid[None, :]  # (M, N)
+        Hs_new = jax.vmap(
+            lambda wl, hold: jnp.where(
+                jnp.sum((wl > 0).astype(x1.dtype)) >= 4.0,
+                geometry.homography_from_points(
+                    x1, x2, wl, cfg.eig_method, cfg.eig_iterations
+                ),
+                hold,
+            )
+        )(w, Hs)
+        r_new = geometry.residual_matrix(Hs_new, x1, x2, cfg.residual)
+        better = (count(r_new) >= count(r))[:, None, None]
+        return jnp.where(better, Hs_new, Hs), None
+
+    # squared-space multipliers: linear thresholds 2^(rounds-1)*tau .. tau,
+    # e.g. rounds=3 -> thresholds 4tau, 2tau, tau -> squared 16, 4, 1
+    mults = jnp.asarray(
+        [4.0 ** (rounds - 1 - i) for i in range(rounds)], x1.dtype
+    )
+    Hs, _ = jax.lax.scan(one_round, Hs, mults)
+    return Hs
+
+
+def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
+                     cfg: MultiHConfig):
+    """One PEARL alternation (SURVEY.md §3.1 inner loop):
+    residuals -> data costs -> mean-field+ICM labeling -> refit -> accept
+    -> merge duplicates -> label-cost prune.
+
+    `it` is the iteration index: label-cost pruning only engages in the
+    second half of the alternation — deactivation is permanent here
+    (unlike gco, which keeps pruned labels in the candidate set), so
+    planes must be given time to grow to their full support first."""
+    Hs, active, q = carry
+    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    k = cfg.max_labels
+
+    r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)  # (K, N)
+    dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, active)
+    q = labeling.mean_field(
+        dcost, nbr_idx, nbr_w, cfg.spatial_weight,
+        cfg.meanfield_iterations, cfg.temperature_start, cfg.temperature,
+        q_init=q,
+    )
+    # Two ICM starts, keep the lower-energy labeling. Mean-field smooths
+    # well once planes have mass but cannot nucleate sparse fragments
+    # against the outlier field (its updates are local; alpha-expansion's
+    # maxflow moves are not) — the data-argmin start nucleates every
+    # covered point and lets ICM trim, covering exactly that regime.
+    labels = labeling.best_labeling(
+        [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
+        dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+    )
+
+    # refit on assignments; accept per-plane only if inliers don't shrink
+    Hs_new, support = refit_planes(Hs, labels, r, x1, x2, valid, cfg)
+    r_new = geometry.residual_matrix(Hs_new, x1, x2, cfg.residual)
+    in_old = jnp.sum((r < thr) * valid[None, :], axis=1)
+    in_new = jnp.sum((r_new < thr) * valid[None, :], axis=1)
+    better = (in_new >= in_old)[:, None, None]
+    Hs = jnp.where(better, Hs_new, Hs)
+    r_acc = jnp.where(better[..., 0], r_new, r)
+
+    # mode consolidation: refit fragments of one physical plane now look
+    # identical -> merge by inlier IoU
+    active = merge_duplicate_planes(
+        r_acc, support, active, thr, cfg.merge_iou
+    )
+
+    # PEARL label cost (reference C9's beta * |labels| term): deactivate the
+    # plane whose removal lowers the energy the most, if any. Removal gain =
+    # beta - sum over members of (runner-up cost - current cost).
+    dcost_now = labeling.data_costs(
+        r_acc, valid, thr, cfg.outlier_cost, active
+    )
+    member = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k]
+    member = member * valid[:, None] * active[None, :]
+    # runner-up: cheapest alternative label per point, excluding its own
+    own = jnp.take_along_axis(
+        dcost_now, labels[:, None], axis=1
+    )[:, 0]
+    masked = dcost_now.at[
+        jnp.arange(labels.shape[0]), labels
+    ].set(jnp.inf)
+    runner = jnp.min(masked, axis=1)
+    switch_cost = jnp.sum(
+        (runner - own)[:, None] * member, axis=0
+    )  # (K,) extra data cost if plane removed
+    gain = cfg.label_cost - switch_cost
+    worst = jnp.argmax(jnp.where(active > 0, gain, -jnp.inf))
+    prune_on = it >= cfg.pearl_iterations // 2
+    active = active.at[worst].set(
+        jnp.where((gain[worst] > 0) & prune_on, 0.0, active[worst])
+    )
+
+    # drop tiny planes outright
+    active = active * (support >= cfg.min_inliers).astype(active.dtype)
+
+    energy = labeling.total_energy(
+        labels, dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.label_cost,
+        active,
+    )
+    return (Hs, active, q), energy
+
+
+def fit(x1, x2, valid, key, cfg: MultiHConfig) -> FitResult:
+    """Full Multi-H fit on one (padded) correspondence set.
+
+    Args:
+      x1, x2: (N, 2) float32 matched keypoints (N = cfg.max_points).
+      valid: (N,) float {0,1}.
+      key: jax PRNG key.
+      cfg: static MultiHConfig.
+    """
+    k = cfg.max_labels
+    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+
+    # C8: spatial neighborhood (also feeds localized sampling)
+    nbr_idx, nbr_w = labeling.knn_graph(x1, valid, cfg.knn_k)
+
+    # C5: hypothesis pool
+    Hs_all, ok = generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg)
+
+    # C6 + C7: verification sweep, LO growth, candidate selection
+    counts = count_inliers_chunked(Hs_all, x1, x2, valid, cfg) * ok
+    top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
+    Hs_top = lo_refine_candidates(
+        Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds
+    )
+    r_top = geometry.residual_matrix(Hs_top, x1, x2, cfg.residual)
+    grown_counts = jnp.sum((r_top < thr) * valid[None, :], axis=1)
+    cand_idx, cand_active = selection.select_candidates(
+        r_top, valid, thr, jnp.ones_like(grown_counts), cfg.n_candidates,
+        k, cfg.nms_iou,
+    )
+    Hs = Hs_top[cand_idx]  # (K, 3, 3)
+    active = cand_active * (
+        grown_counts[cand_idx] >= cfg.min_inliers
+    ).astype(x1.dtype)
+
+    # C9-C12: PEARL alternation, fixed trip count. q starts from the data
+    # costs of the selected candidates — a uniform start starves the
+    # mean-field of the agreement signal it needs to nucleate sparse
+    # fragments against the outlier field.
+    r0 = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+    d0 = labeling.data_costs(r0, valid, thr, cfg.outlier_cost, active)
+    q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=1)
+
+    def step(carry, xs):
+        return _pearl_iteration(
+            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg
+        )
+
+    (Hs, active, q), energies = jax.lax.scan(
+        step, (Hs, active, q0), jnp.arange(cfg.pearl_iterations)
+    )
+
+    # final hard assignment (same two-start scheme as the loop)
+    r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+    dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, active)
+    labels = labeling.best_labeling(
+        [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
+        dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+    )
+    # points on inactive planes -> outlier label
+    label_active = jnp.concatenate([active, jnp.ones((1,), active.dtype)])
+    labels = jnp.where(label_active[labels] > 0, labels, k)
+    # padded points -> outlier label
+    labels = jnp.where(valid > 0, labels, k).astype(jnp.int32)
+
+    member = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k]
+    support = jnp.sum(member * valid[:, None], axis=0)
+
+    return FitResult(
+        labels=labels,
+        homographies=Hs,
+        active=active,
+        support=support,
+        energy=energies[-1],
+        energy_trace=energies,
+        n_hypotheses_ok=jnp.sum(ok),
+    )
+
+
+def make_fit(cfg: MultiHConfig):
+    """jit-compiled fit with cfg baked in as a static constant."""
+    return jax.jit(lambda x1, x2, valid, key: fit(x1, x2, valid, key, cfg))

@@ -1,0 +1,100 @@
+"""Multi-chip execution: batched multi-pair fitting sharded over a device
+mesh (SURVEY.md §2 P3/P4; §5 'Distributed communication backend').
+
+The reference runs its CLI once per stereo pair on one CPU core; the TPU
+rebuild batches pairs into one padded tensor program (P4) and shards that
+batch over a ``jax.sharding.Mesh`` (P3). Collectives are never written by
+hand here — the sharding annotations let XLA lower any cross-device traffic
+onto ICI. Two mesh axes:
+
+- ``pair``: data parallelism over stereo pairs (embarrassingly parallel —
+  zero collectives in steady state).
+- ``hyp``: intra-pair parallelism over the hypothesis pool for the huge
+  stress configs (BASELINE.json:10) — the verification sweep's inlier-count
+  reduction crosses this axis via an XLA-inserted psum.
+
+Tests run this on a virtual 8-device CPU mesh
+(``xla_force_host_platform_device_count``); the driver's
+``dryrun_multichip`` does the same (SURVEY.md §4 'hardware strategy').
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multih_tpu.config import MultiHConfig
+from multih_tpu.models import pipeline
+
+
+def make_mesh(devices=None, pair_axis: int | None = None) -> Mesh:
+    """1-D or 2-D mesh over the available devices: ('pair', 'hyp')."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if pair_axis is None:
+        pair_axis = n  # default: all devices on the pair axis
+    hyp_axis = n // pair_axis
+    import numpy as np
+
+    dev = np.array(devices[: pair_axis * hyp_axis]).reshape(
+        pair_axis, hyp_axis
+    )
+    return Mesh(dev, axis_names=("pair", "hyp"))
+
+
+def batched_fit(cfg: MultiHConfig):
+    """vmapped fit over a batch of padded pairs: the P4 'run the CLI 19
+    times' replacement — one XLA program for the whole benchmark."""
+    f = functools.partial(pipeline.fit, cfg=cfg)
+    return jax.vmap(f, in_axes=(0, 0, 0, 0))
+
+
+def sharded_fit(cfg: MultiHConfig, mesh: Mesh):
+    """Batched fit with the pair axis sharded over the mesh's 'pair' axis.
+
+    Inputs: x1, x2 (B, N, 2); valid (B, N); keys (B,) PRNG keys.
+    B must be a multiple of the mesh 'pair' axis size (pad with dummy pairs).
+    """
+    vf = batched_fit(cfg)
+    in_shardings = (
+        NamedSharding(mesh, P("pair", None, None)),  # x1
+        NamedSharding(mesh, P("pair", None, None)),  # x2
+        NamedSharding(mesh, P("pair", None)),        # valid
+        NamedSharding(mesh, P("pair")),              # keys
+    )
+    out_shardings = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("pair")),
+        pipeline.FitResult(*(None,) * 7),
+    )
+    return jax.jit(
+        vf, in_shardings=in_shardings, out_shardings=out_shardings
+    )
+
+
+def run_benchmark_batch(pairs, cfg: MultiHConfig, mesh: Mesh | None = None,
+                        seed: int = 0):
+    """Fit a list of CorrespondenceSets as one sharded batch; returns a
+    FitResult with a leading batch axis (device order = input order)."""
+    import numpy as np
+
+    if mesh is None:
+        mesh = make_mesh()
+    npair = mesh.shape["pair"]
+    b = len(pairs)
+    b_pad = -(-b // npair) * npair
+
+    x1 = np.zeros((b_pad, cfg.max_points, 2), np.float32)
+    x2 = np.zeros((b_pad, cfg.max_points, 2), np.float32)
+    valid = np.zeros((b_pad, cfg.max_points), np.float32)
+    for i, cs in enumerate(pairs):
+        p1, p2, v = pipeline.pad_points(cs.x1, cs.x2, None, cfg.max_points)
+        x1[i], x2[i], valid[i] = p1, p2, v
+    keys = jax.vmap(jax.random.key)(jnp.arange(seed, seed + b_pad))
+
+    f = sharded_fit(cfg, mesh)
+    with mesh:
+        res = f(x1, x2, valid, keys)
+    return jax.tree_util.tree_map(lambda a: np.asarray(a)[:b], res)

@@ -1,0 +1,182 @@
+"""Dataset IO and synthetic scene generation (reference C13).
+
+The reference loads AdelaideRMF-style correspondence files (x, y, x', y',
+GT label) plus images (SURVEY.md §2 C13). Here:
+
+- ``load_adelaide_mat``: the standard AdelaideRMF ``.mat`` distribution
+  (fields ``data`` 6xN homogeneous correspondence matrix, ``label`` N).
+- ``load_correspondences_txt``: plain-text ``x y x' y' [label]`` rows — the
+  reference CLI's input contract (BASELINE.json:5).
+- ``synthetic_scene``: multi-plane stereo scene generator with known
+  ground-truth homographies/labels — the exact-recovery fixture
+  (BASELINE.json:8) and the stress generator (BASELINE.json:10).
+
+Everything host-side NumPy; the pipeline's device entry is pad_points().
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+
+class CorrespondenceSet(NamedTuple):
+    x1: np.ndarray          # (N, 2) float32 — keypoints in image 1
+    x2: np.ndarray          # (N, 2) float32 — keypoints in image 2
+    gt_labels: np.ndarray | None  # (N,) int32; 0 = outlier (AdelaideRMF)
+    name: str
+
+    @property
+    def n_points(self) -> int:
+        return self.x1.shape[0]
+
+    @property
+    def n_planes(self) -> int:
+        if self.gt_labels is None:
+            return 0
+        return int(np.max(self.gt_labels))
+
+
+def load_adelaide_mat(path: str) -> CorrespondenceSet:
+    """AdelaideRMF .mat: 'data' is 6xN ([x;y;1;x';y';1]), 'label' is N."""
+    from scipy.io import loadmat
+
+    m = loadmat(path)
+    data = m["data"]
+    if data.shape[0] != 6:
+        data = data.T
+    x1 = (data[0:2] / data[2:3]).T.astype(np.float32)
+    x2 = (data[3:5] / data[5:6]).T.astype(np.float32)
+    label = None
+    if "label" in m:
+        label = np.asarray(m["label"]).reshape(-1).astype(np.int32)
+    name = os.path.splitext(os.path.basename(path))[0]
+    return CorrespondenceSet(x1, x2, label, name)
+
+
+def load_correspondences_txt(path: str) -> CorrespondenceSet:
+    """Whitespace table: x y x' y' [gt_label], one correspondence per row."""
+    arr = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    x1 = arr[:, 0:2].astype(np.float32)
+    x2 = arr[:, 2:4].astype(np.float32)
+    label = (
+        arr[:, 4].astype(np.int32) if arr.shape[1] > 4 else None
+    )
+    name = os.path.splitext(os.path.basename(path))[0]
+    return CorrespondenceSet(x1, x2, label, name)
+
+
+def save_correspondences_txt(path: str, cs: CorrespondenceSet) -> None:
+    cols = [cs.x1, cs.x2]
+    if cs.gt_labels is not None:
+        cols.append(cs.gt_labels[:, None].astype(np.float32))
+    np.savetxt(path, np.concatenate(cols, axis=1), fmt="%.6f")
+
+
+# ---------------------------------------------------------------------------
+# synthetic scenes
+# ---------------------------------------------------------------------------
+
+def _random_homography(rng: np.random.Generator, scale: float = 640.0):
+    """A well-conditioned random homography mapping roughly the image box to
+    itself: random 3D plane seen by two nearby cameras."""
+    # base similarity + mild projective terms
+    angle = rng.uniform(-0.3, 0.3)
+    s = rng.uniform(0.8, 1.25)
+    tx, ty = rng.uniform(-0.15, 0.15, 2) * scale
+    ca, sa = np.cos(angle), np.sin(angle)
+    H = np.array(
+        [
+            [s * ca, -s * sa, tx],
+            [s * sa, s * ca, ty],
+            [
+                rng.uniform(-0.3, 0.3) / scale,
+                rng.uniform(-0.3, 0.3) / scale,
+                1.0,
+            ],
+        ]
+    )
+    # mild affine shear
+    shear = np.eye(3)
+    shear[0, 1] += rng.uniform(-0.15, 0.15)
+    shear[1, 0] += rng.uniform(-0.15, 0.15)
+    return H @ shear
+
+
+def synthetic_scene(
+    n_points: int = 1000,
+    n_planes: int = 2,
+    outlier_rate: float = 0.0,
+    noise_px: float = 0.0,
+    seed: int = 0,
+    image_size: float = 640.0,
+    clustered: bool = True,
+) -> tuple[CorrespondenceSet, np.ndarray]:
+    """Multi-plane stereo scene with known GT (BASELINE.json:8,10).
+
+    Points of each plane are spatially clustered in image 1 (planes are
+    compact regions in real scenes — required for the locality prior).
+    GT label convention matches AdelaideRMF: 0 = outlier, 1..P = planes.
+
+    Returns (CorrespondenceSet, (P, 3, 3) true homographies).
+    """
+    rng = np.random.default_rng(seed)
+    n_out = int(round(n_points * outlier_rate))
+    n_in = n_points - n_out
+    counts = np.full(n_planes, n_in // n_planes)
+    counts[: n_in - counts.sum()] += 1
+
+    Hs = np.stack([_random_homography(rng, image_size) for _ in range(n_planes)])
+
+    x1_list, x2_list, lab_list = [], [], []
+    # plane region centers spread over the image
+    centers = rng.uniform(0.25, 0.75, (n_planes, 2)) * image_size
+    for p in range(n_planes):
+        c = counts[p]
+        if clustered:
+            pts = centers[p] + rng.normal(0, 0.12 * image_size, (c, 2))
+        else:
+            pts = rng.uniform(0, image_size, (c, 2))
+        pts = np.clip(pts, 0, image_size)
+        ph = np.concatenate([pts, np.ones((c, 1))], axis=1)
+        q = ph @ Hs[p].T
+        q = q[:, :2] / q[:, 2:3]
+        if noise_px > 0:
+            pts = pts + rng.normal(0, noise_px, (c, 2))
+            q = q + rng.normal(0, noise_px, (c, 2))
+        x1_list.append(pts)
+        x2_list.append(q)
+        lab_list.append(np.full(c, p + 1))
+
+    if n_out:
+        x1_list.append(rng.uniform(0, image_size, (n_out, 2)))
+        x2_list.append(rng.uniform(0, image_size, (n_out, 2)))
+        lab_list.append(np.zeros(n_out))
+
+    x1 = np.concatenate(x1_list).astype(np.float32)
+    x2 = np.concatenate(x2_list).astype(np.float32)
+    lab = np.concatenate(lab_list).astype(np.int32)
+    perm = rng.permutation(x1.shape[0])
+    cs = CorrespondenceSet(
+        x1[perm], x2[perm], lab[perm], f"synthetic_p{n_planes}_s{seed}"
+    )
+    return cs, Hs.astype(np.float32)
+
+
+def adelaide_pairs(root: str) -> list[str]:
+    """The 19 homography pairs of the AdelaideRMF benchmark, if present
+    under `root` as .mat files (BASELINE.json:9). Returns found paths."""
+    names = [
+        "barrsmith", "bonhall", "bonython", "elderhalla", "elderhallb",
+        "hartley", "johnsona", "johnsonb", "ladysymon", "library",
+        "napiera", "napierb", "neem", "nese", "oldclassicswing",
+        "physics", "sene", "unihouse", "unionhouse",
+    ]
+    out = []
+    for n in names:
+        p = os.path.join(root, n + ".mat")
+        if os.path.exists(p):
+            out.append(p)
+    return out

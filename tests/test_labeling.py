@@ -1,0 +1,169 @@
+"""Labeling vs oracles: k-NN graph vs scipy cKDTree; mean-field/ICM on tiny
+MRFs vs brute-force exact minimum (SURVEY.md §4 'unit (optimizer)')."""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial import cKDTree
+
+from multih_tpu.models import labeling
+
+
+class TestKnnGraph:
+    def test_matches_ckdtree(self, rng):
+        n, k = 120, 5
+        pts = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        valid = jnp.ones(n)
+        nbr_idx, nbr_w = jax.jit(labeling.knn_graph, static_argnums=2)(
+            jnp.asarray(pts), valid, k
+        )
+        nbr_idx, nbr_w = np.asarray(nbr_idx), np.asarray(nbr_w)
+        tree = cKDTree(pts)
+        _, ref = tree.query(pts, k + 1)  # includes self
+        for i in range(n):
+            assert set(nbr_idx[i]) == set(ref[i][1:]), i
+        assert np.all(nbr_w == 1.0)
+
+    def test_padding_excluded(self, rng):
+        n, k = 40, 4
+        pts = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        pts[30:] = 0.0
+        valid = jnp.asarray((np.arange(n) < 30).astype(np.float32))
+        nbr_idx, nbr_w = labeling.knn_graph(jnp.asarray(pts), valid, k)
+        nbr_idx, nbr_w = np.asarray(nbr_idx), np.asarray(nbr_w)
+        # no valid point has a padded neighbor (with nonzero weight)
+        assert nbr_idx[:30].max() < 30
+        # padded points contribute no edges
+        assert np.all(nbr_w[30:] == 0.0)
+
+
+def brute_force_min(dcost, nbr_idx, nbr_w, lam):
+    """Exact minimum of data + lambda*Potts over all labelings (tiny N)."""
+    n, l = dcost.shape
+    best, best_e = None, np.inf
+    for lab in itertools.product(range(l), repeat=n):
+        lab = np.array(lab)
+        e = dcost[np.arange(n), lab].sum()
+        e += lam * 0.5 * sum(
+            nbr_w[i, j] * (lab[i] != lab[nbr_idx[i, j]])
+            for i in range(n)
+            for j in range(nbr_idx.shape[1])
+        )
+        if e < best_e:
+            best_e, best = e, lab
+    return best, best_e
+
+
+class TestMeanFieldICM:
+    def _tiny_problem(self, rng, n=8, l=3, k=2):
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        nbr_idx, nbr_w = labeling.knn_graph(
+            jnp.asarray(pts), jnp.ones(n), k
+        )
+        dcost = rng.uniform(0, 1, (n, l)).astype(np.float32)
+        return dcost, np.asarray(nbr_idx), np.asarray(nbr_w)
+
+    def test_reaches_exact_minimum_on_tiny_mrfs(self, rng):
+        """Annealed mean-field + ICM should find the global optimum on small
+        random problems in most cases, and never produce a labeling worse
+        than a few percent above it."""
+        lam = 0.4
+        hits, total = 0, 10
+        for _ in range(total):
+            dcost, nbr_idx, nbr_w = self._tiny_problem(rng)
+            q = labeling.mean_field(
+                jnp.asarray(dcost), jnp.asarray(nbr_idx), jnp.asarray(nbr_w),
+                lam, 30, 2.0, 0.05,
+            )
+            lab = np.asarray(jnp.argmax(q, axis=1))
+            lab = np.asarray(labeling.icm(
+                jnp.asarray(lab), jnp.asarray(dcost), jnp.asarray(nbr_idx),
+                jnp.asarray(nbr_w), lam, 6,
+            ))
+            _, e_opt = brute_force_min(dcost, nbr_idx, nbr_w, lam)
+            e_got = (
+                dcost[np.arange(8), lab].sum()
+                + lam * 0.5 * sum(
+                    nbr_w[i, j] * (lab[i] != lab[nbr_idx[i, j]])
+                    for i in range(8) for j in range(nbr_idx.shape[1])
+                )
+            )
+            assert e_got <= e_opt * 1.10 + 1e-4
+            hits += int(e_got <= e_opt + 1e-5)
+        assert hits >= 7, f"only {hits}/{total} exact"
+
+    def test_zero_smoothness_is_pointwise_argmin(self, rng):
+        dcost, nbr_idx, nbr_w = self._tiny_problem(rng)
+        q = labeling.mean_field(
+            jnp.asarray(dcost), jnp.asarray(nbr_idx), jnp.asarray(nbr_w),
+            0.0, 20, 2.0, 0.05,
+        )
+        lab = np.asarray(jnp.argmax(q, axis=1))
+        np.testing.assert_array_equal(lab, dcost.argmin(1))
+
+    def test_strong_smoothness_yields_constant_labeling(self, rng):
+        dcost, nbr_idx, nbr_w = self._tiny_problem(rng)
+        q = labeling.mean_field(
+            jnp.asarray(dcost), jnp.asarray(nbr_idx), jnp.asarray(nbr_w),
+            50.0, 40, 2.0, 0.05,
+        )
+        lab = np.asarray(jnp.argmax(q, axis=1))
+        lab = np.asarray(labeling.icm(
+            jnp.asarray(lab), jnp.asarray(dcost), jnp.asarray(nbr_idx),
+            jnp.asarray(nbr_w), 50.0, 8,
+        ))
+        assert len(np.unique(lab)) == 1
+
+    def test_icm_never_increases_energy(self, rng):
+        lam = 0.7
+        dcost, nbr_idx, nbr_w = self._tiny_problem(rng, n=10, l=4, k=3)
+
+        def energy(lab):
+            return (
+                dcost[np.arange(10), lab].sum()
+                + lam * 0.5 * sum(
+                    nbr_w[i, j] * (lab[i] != lab[nbr_idx[i, j]])
+                    for i in range(10) for j in range(nbr_idx.shape[1])
+                )
+            )
+
+        lab0 = np.asarray(dcost.argmin(1))
+        lab1 = np.asarray(labeling.icm(
+            jnp.asarray(lab0), jnp.asarray(dcost), jnp.asarray(nbr_idx),
+            jnp.asarray(nbr_w), lam, 8,
+        ))
+        assert energy(lab1) <= energy(lab0) + 1e-5
+
+
+class TestDataCosts:
+    def test_truncation_and_outlier(self, rng):
+        k, n = 3, 6
+        r = rng.uniform(0, 100, (k, n)).astype(np.float32)
+        valid = jnp.ones(n)
+        active = jnp.ones(k)
+        d = np.asarray(labeling.data_costs(
+            jnp.asarray(r), valid, jnp.asarray(9.0), 0.8, active
+        ))
+        assert d.shape == (n, k + 1)
+        # truncated at 8x, scaled so cost == outlier_cost exactly at r = tau
+        np.testing.assert_allclose(
+            d[:, :k], np.minimum(r.T / 9.0, 8.0) * 0.8, rtol=1e-6
+        )
+        np.testing.assert_allclose(d[:, k], 0.8)
+        # crossing property: residual at threshold costs exactly outlier_cost
+        d_at = np.asarray(labeling.data_costs(
+            jnp.full((1, 1), 9.0, np.float32), jnp.ones(1),
+            jnp.asarray(9.0), 0.8, jnp.ones(1)
+        ))
+        assert abs(d_at[0, 0] - 0.8) < 1e-6
+
+    def test_inactive_label_is_prohibitive(self, rng):
+        k, n = 3, 5
+        r = np.zeros((k, n), np.float32)  # all perfect fits
+        active = jnp.asarray([1.0, 0.0, 1.0])
+        d = np.asarray(labeling.data_costs(
+            jnp.asarray(r), jnp.ones(n), jnp.asarray(9.0), 0.8, active
+        ))
+        assert np.all(d[:, 1] > 100.0)

@@ -1,0 +1,128 @@
+"""End-to-end pipeline tests (SURVEY.md §4 'integration'):
+- synthetic noise-free 2-plane scene -> exact recovery (BASELINE.json:8)
+- robustness to outliers / plane counts
+- padding invariance, determinism
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import multih_tpu
+from multih_tpu.utils import data, evaluation
+
+
+def fit_scene(cs, cfg, seed=0):
+    x1, x2, valid, gt = multih_tpu.pad_points(
+        cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+    )
+    f = multih_tpu.make_fit(cfg)
+    res = f(x1, x2, valid, jax.random.key(seed))
+    err = evaluation.misclassification_error(
+        np.asarray(res.labels), gt, cfg.max_labels
+    )
+    return res, err
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return multih_tpu.MultiHConfig(max_points=512, n_hypotheses=1024)
+
+
+class TestExactRecovery:
+    def test_noise_free_two_planes(self, small_cfg):
+        """BASELINE.json:8: exact label and H recovery on a clean scene."""
+        cs, H_true = data.synthetic_scene(
+            n_points=400, n_planes=2, outlier_rate=0.0, noise_px=0.0, seed=1
+        )
+        res, err = fit_scene(cs, small_cfg)
+        assert err == 0.0
+        active = np.asarray(res.active)
+        assert int(active.sum()) == 2
+        # recovered homographies match truth to fp32 accuracy
+        Hf = np.asarray(res.homographies)[active > 0]
+        for p in range(2):
+            Ht = H_true[p] / np.linalg.norm(H_true[p])
+            d = min(
+                np.abs(h / np.linalg.norm(h) - Ht).max() for h in Hf
+            )
+            assert d < 1e-4, (p, d)
+
+    def test_noisy_with_outliers(self, small_cfg):
+        cs, _ = data.synthetic_scene(
+            n_points=400, n_planes=2, outlier_rate=0.1, noise_px=0.5, seed=3
+        )
+        res, err = fit_scene(cs, small_cfg)
+        assert int(np.asarray(res.active).sum()) == 2
+        assert err < 3.0, err
+
+    def test_single_plane(self, small_cfg):
+        cs, _ = data.synthetic_scene(
+            n_points=300, n_planes=1, outlier_rate=0.2, noise_px=0.5, seed=11
+        )
+        res, err = fit_scene(cs, small_cfg)
+        assert int(np.asarray(res.active).sum()) == 1
+        assert err < 3.0, err
+
+    def test_all_outliers_finds_nothing(self, small_cfg):
+        rng = np.random.default_rng(5)
+        cs = data.CorrespondenceSet(
+            rng.uniform(0, 640, (300, 2)).astype(np.float32),
+            rng.uniform(0, 640, (300, 2)).astype(np.float32),
+            np.zeros(300, np.int32),
+            "allout",
+        )
+        res, err = fit_scene(cs, small_cfg)
+        assert int(np.asarray(res.active).sum()) == 0
+        assert err == 0.0
+
+
+class TestInvariances:
+    def test_deterministic(self, small_cfg):
+        cs, _ = data.synthetic_scene(300, 2, 0.1, 0.5, seed=7)
+        res1, _ = fit_scene(cs, small_cfg, seed=0)
+        res2, _ = fit_scene(cs, small_cfg, seed=0)
+        np.testing.assert_array_equal(
+            np.asarray(res1.labels), np.asarray(res2.labels)
+        )
+
+    def test_padding_invariance(self):
+        """Same scene fit at two padded sizes gives the same labeling."""
+        cs, _ = data.synthetic_scene(200, 2, 0.05, 0.3, seed=13)
+        cfg_a = multih_tpu.MultiHConfig(max_points=256, n_hypotheses=1024)
+        cfg_b = multih_tpu.MultiHConfig(max_points=512, n_hypotheses=1024)
+        _, err_a = fit_scene(cs, cfg_a)
+        _, err_b = fit_scene(cs, cfg_b)
+        # identical labels are not guaranteed (sampling differs with the
+        # padded shape) but both must solve the scene
+        assert err_a < 3.0 and err_b < 3.0
+
+    def test_energy_nonincreasing_tail(self, small_cfg):
+        """PEARL energy trace should settle (no oscillation at the end)."""
+        cs, _ = data.synthetic_scene(400, 3, 0.1, 0.5, seed=17)
+        res, _ = fit_scene(cs, small_cfg)
+        tr = np.asarray(res.energy_trace)
+        assert tr[-1] <= tr[0] + 1e-3
+        assert abs(tr[-1] - tr[-2]) < max(0.05 * abs(tr[-1]), 5.0)
+
+
+class TestResultContract:
+    def test_shapes_and_types(self, small_cfg):
+        cs, _ = data.synthetic_scene(100, 2, 0.0, 0.0, seed=2)
+        res, _ = fit_scene(cs, small_cfg)
+        k, n = small_cfg.max_labels, small_cfg.max_points
+        assert res.labels.shape == (n,)
+        assert res.labels.dtype == jnp.int32
+        assert res.homographies.shape == (k, 3, 3)
+        assert res.active.shape == (k,)
+        assert res.support.shape == (k,)
+        assert res.energy_trace.shape == (small_cfg.pearl_iterations,)
+        # padded points carry the outlier label
+        assert np.all(np.asarray(res.labels)[100:] == k)
+        # labels on inactive planes never appear
+        lab = np.asarray(res.labels)
+        act = np.asarray(res.active)
+        for l in set(lab.tolist()):
+            if l < k:
+                assert act[l] > 0

@@ -1,0 +1,71 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4
+'hardware strategy', §5 'distributed communication backend'): the sharded
+batched fit must compile, execute, and agree with the unsharded path."""
+
+import numpy as np
+import jax
+import pytest
+
+import multih_tpu
+from multih_tpu.parallel import sharding
+from multih_tpu.utils import data, evaluation
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return multih_tpu.MultiHConfig(
+        max_points=128, n_hypotheses=256, n_candidates=64, max_labels=8
+    )
+
+
+@pytest.fixture(scope="module")
+def pairs():
+    return [
+        data.synthetic_scene(96, 2, 0.1, 0.5, seed=s)[0] for s in range(8)
+    ]
+
+
+class TestShardedFit:
+    def test_eight_device_mesh(self, tiny_cfg, pairs):
+        assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+        mesh = sharding.make_mesh(jax.devices()[:8])
+        res = sharding.run_benchmark_batch(pairs, tiny_cfg, mesh=mesh)
+        assert res.labels.shape == (8, tiny_cfg.max_points)
+        # every pair solved
+        for i, cs in enumerate(pairs):
+            err = evaluation.misclassification_error(
+                res.labels[i][: cs.n_points], cs.gt_labels,
+                tiny_cfg.max_labels,
+            )
+            assert err < 5.0, (i, err)
+
+    def test_shard_parity_with_single_device(self, tiny_cfg, pairs):
+        """P3 shard-parity: same results with and without sharding."""
+        mesh8 = sharding.make_mesh(jax.devices()[:8])
+        mesh1 = sharding.make_mesh(jax.devices()[:1])
+        r8 = sharding.run_benchmark_batch(pairs, tiny_cfg, mesh=mesh8)
+        r1 = sharding.run_benchmark_batch(pairs, tiny_cfg, mesh=mesh1)
+        np.testing.assert_array_equal(r8.labels, r1.labels)
+        np.testing.assert_allclose(
+            r8.homographies, r1.homographies, rtol=2e-4, atol=2e-5
+        )
+
+    def test_non_multiple_batch_padding(self, tiny_cfg, pairs):
+        """Batch of 5 on an 8-way mesh: padded internally, results intact."""
+        mesh = sharding.make_mesh(jax.devices()[:8])
+        res = sharding.run_benchmark_batch(pairs[:5], tiny_cfg, mesh=mesh)
+        assert res.labels.shape[0] == 5
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.labels.shape == (256,)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
