@@ -43,9 +43,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--threshold", type=float, default=3.0,
                    help="inlier threshold in px (tau)")
     p.add_argument("--spatial-weight", "--lambda", dest="spatial_weight",
-                   type=float, default=0.3, help="Potts smoothness weight")
+                   type=float, default=0.1, help="Potts smoothness weight")
     p.add_argument("--label-cost", "--beta", dest="label_cost", type=float,
-                   default=30.0, help="per-plane label cost")
+                   default=20.0, help="per-plane label cost")
     p.add_argument("--hypotheses", type=int, default=2048)
     p.add_argument("--max-labels", type=int, default=16)
     p.add_argument("--iterations", type=int, default=8,

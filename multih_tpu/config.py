@@ -31,6 +31,9 @@ class MultiHConfig:
     # --- hypothesis generation (reference C5) ---
     n_hypotheses: int = 2048            # minimal 4-pt samples per fit
     max_points: int = 512               # padded correspondence count N
+    progressive_rounds: int = 4         # guided re-sampling rounds: claim
+                                        # the best plane's inliers, re-sample
+                                        # among the rest (1 = plain sampling)
 
     # --- candidate selection / mode-seeking analog (reference C7) ---
     n_candidates: int = 256             # top-M hypotheses kept for NMS
@@ -45,10 +48,10 @@ class MultiHConfig:
     knn_k: int = 6                      # spatial neighbors per point
 
     # --- PEARL energy (reference C9/C10, gco alpha-expansion analog) ---
-    spatial_weight: float = 0.2         # lambda: Potts smoothness weight
+    spatial_weight: float = 0.1         # lambda: Potts smoothness weight
                                         # (swept on synthetic scenes; see
                                         # tools/ parity tuning)
-    label_cost: float = 30.0            # beta: per-active-label penalty
+    label_cost: float = 20.0            # beta: per-active-label penalty
     outlier_cost: float = 1.0           # data cost of the outlier label,
                                         # in units of truncated residual cost
     pearl_iterations: int = 8           # outer alternation count (fixed)
@@ -69,7 +72,9 @@ class MultiHConfig:
     eig_iterations: int = 6             # Jacobi sweeps / inverse-iter steps
 
     # --- execution ---
-    use_pallas: bool = False            # route hot ops through Pallas kernels
+    use_pallas: bool = True             # route hot ops through Pallas
+                                        # kernels (effective on TPU backend;
+                                        # CPU always uses the jnp reference)
     residual_chunk: int = 512           # hypothesis-axis tile for the
                                         # residual sweep (bounds memory)
 

@@ -67,17 +67,14 @@ def pad_points(x1, x2, gt_labels=None, max_points: int = 512):
 # stages
 # ---------------------------------------------------------------------------
 
-def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
-    """C5: threefry-sampled minimal 4-pt DLT solves, fully vmapped.
-    Half the pool is uniform samples, half locality-biased (neighbor-seeded)
-    — the latter mirrors the reference's per-point local hypotheses
-    (Multi-H paper §3.1) and dominates on real scenes."""
-    s = cfg.n_hypotheses
+def _sample_and_solve(key, x1, x2, avail, nbr_idx, nbr_ok, n_samples):
+    """One batch of minimal samples (half uniform over `avail`, half
+    locality-biased with `nbr_ok` edge preference) -> (Hs, ok)."""
     k_u, k_l = jax.random.split(key)
-    s_local = s // 2
-    idx_u = sampling.sample_indices(k_u, s - s_local, valid > 0)
+    s_local = n_samples // 2
+    idx_u = sampling.sample_indices(k_u, n_samples - s_local, avail > 0)
     idx_l = sampling.localized_sample_indices(
-        k_l, s_local, valid > 0, nbr_idx
+        k_l, s_local, avail > 0, nbr_idx, nbr_ok
     )
     idx = jnp.concatenate([idx_u, idx_l], axis=0)  # (S, 4)
     p1 = x1[idx]  # (S, 4, 2)
@@ -85,16 +82,90 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
     Hs = geometry.homography_4pt_batch_qr(p1, p2)
     degenerate = geometry.quad_degenerate_batch(p1, 1e-4) | \
         geometry.quad_degenerate_batch(p2, 1e-4)
-    # samples touching padded points are invalid too
-    uses_pad = jnp.any(valid[idx] == 0, axis=1)
+    uses_pad = jnp.any(avail[idx] == 0, axis=1)
     ok = jnp.logical_not(degenerate | uses_pad).astype(x1.dtype)
     return Hs, ok
 
 
-def count_inliers_chunked(Hs, x1, x2, valid, cfg: MultiHConfig):
-    """C6 over the full pool without materializing (S, N): scan hypothesis
-    chunks, reduce each to an inlier count immediately."""
+def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
+    """C5 + C7 seeding: threefry-sampled minimal 4-pt DLT solves, fully
+    vmapped, in `cfg.progressive_rounds` progressive guided rounds.
+
+    The reference reaches full per-plane coverage by drawing one hypothesis
+    per correspondence from its local affine frame (Multi-H paper §3.1);
+    with point-only input the equivalent coverage guarantee comes from
+    progressive re-sampling: after each round, the best hypothesis is
+    LO-grown and its inliers are 'claimed', and the next round samples only
+    among unclaimed points — so later/smaller planes get dense clean
+    samples instead of competing with already-found structure. All rounds
+    are static-shape; 'claiming' is a soft mask, never a shape change.
+    """
+    rounds = max(1, cfg.progressive_rounds)
+    s_round = cfg.n_hypotheses // rounds
+    s_rem = cfg.n_hypotheses - s_round * (rounds - 1)
     thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+
+    claimed = jnp.zeros_like(valid)
+    pools, oks = [], []
+    keys = jax.random.split(key, rounds)
+    for r in range(rounds):
+        avail = valid * (1.0 - claimed)
+        # if a round runs out of unclaimed points, fall back to all valid
+        # (branch-free: blend by the predicate)
+        enough = (jnp.sum(avail) >= 16.0).astype(x1.dtype)
+        avail = avail * enough + valid * (1.0 - enough)
+        nbr_ok = avail[nbr_idx]
+        n_s = s_rem if r == rounds - 1 else s_round
+        Hs_r, ok_r = _sample_and_solve(
+            keys[r], x1, x2, avail, nbr_idx, nbr_ok, n_s
+        )
+        pools.append(Hs_r)
+        oks.append(ok_r)
+        if r == rounds - 1:
+            break
+        # claim: LO-grow the round's best hypothesis (by inliers among
+        # unclaimed points), then mark its tau-inliers claimed
+        counts_av = count_inliers(Hs_r, x1, x2, avail, cfg) * ok_r
+        best = jnp.argmax(counts_av)
+        H_best = lo_refine_candidates(
+            Hs_r[best][None], x1, x2, valid, cfg, cfg.lo_rounds
+        )[0]
+        r_best = geometry.residual_matrix(H_best[None], x1, x2, cfg.residual)[0]
+        newly = (r_best < thr).astype(x1.dtype) * valid
+        # only claim if the grown plane is real (enough support)
+        real = (jnp.sum(newly) >= cfg.min_inliers).astype(x1.dtype)
+        claimed = jnp.clip(claimed + newly * real, 0.0, 1.0)
+        pools.append(H_best[None])
+        oks.append(real[None])
+
+    Hs = jnp.concatenate(pools, axis=0)
+    ok = jnp.concatenate(oks, axis=0)
+    return Hs, ok
+
+
+def _pallas_enabled(cfg: MultiHConfig) -> bool:
+    """Pallas kernels target the TPU backend; CPU tests keep the jnp
+    reference path (SURVEY.md §7 stage 7). Evaluated at trace time."""
+    return cfg.use_pallas and jax.default_backend() == "tpu"
+
+
+def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig):
+    """C6 over the full pool without materializing (S, N).
+
+    TPU: one Pallas launch — a 2-D (hyp, point) grid with on-chip count
+    accumulation (kernels/residual_kernel.py). Elsewhere: scan hypothesis
+    chunks with the jnp reference residual, reducing each immediately.
+    Only meaningful for the 'symmetric' residual kernel; other residual
+    kinds always take the jnp path.
+    """
+    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    if _pallas_enabled(cfg) and cfg.residual == "symmetric":
+        from multih_tpu.ops.kernels import residual_kernel
+
+        return residual_kernel.inlier_counts_padded(
+            Hs, x1, x2, valid, thr,
+            hyp_tile=256, pt_tile=min(2048, max(512, x1.shape[0])),
+        )
     s = Hs.shape[0]
     chunk = min(cfg.residual_chunk, s)
     pad = (-s) % chunk
@@ -108,6 +179,10 @@ def count_inliers_chunked(Hs, x1, x2, valid, cfg: MultiHConfig):
 
     counts = jax.lax.map(per_chunk, Hp.reshape(-1, chunk, 3, 3))
     return counts.reshape(-1)[:s]
+
+
+# backward-compatible alias (older call sites / notebooks)
+count_inliers_chunked = count_inliers
 
 
 def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig):
@@ -149,16 +224,19 @@ def merge_duplicate_planes(r, support, active, thr, merge_iou: float):
     Refit makes each fragment's H global over its plane, so fragments of
     the same physical plane converge to near-identical inlier sets — the
     TPU-side completion of the reference's parameter-space mode-seeking
-    (C7): detect duplicates by inlier-IoU (one K x K matmul) and keep the
-    best-supported representative. Greedy keep-order by support, like
-    selection NMS.
+    (C7): detect duplicates by inlier-set *containment* (one K x K matmul)
+    and keep the best-supported representative. Containment (intersection
+    over the smaller set) rather than union-IoU: a fringe hypothesis whose
+    inliers are mostly a subset of a real plane's must merge even though
+    its IoU against the much larger set is small. Greedy keep-order by
+    support, like selection NMS.
     """
     k = r.shape[0]
     masks = (r < thr).astype(r.dtype) * active[:, None]  # (K, N)
     counts = jnp.sum(masks, axis=1)
     inter = jnp.dot(masks, masks.T, preferred_element_type=jnp.float32)
-    union = counts[:, None] + counts[None, :] - inter
-    iou = inter / jnp.maximum(union, 1.0)
+    smaller = jnp.minimum(counts[:, None], counts[None, :])
+    iou = inter / jnp.maximum(smaller, 1.0)
     order = jnp.argsort(-counts)  # strongest first
 
     pos = jnp.argsort(order)  # pos[l] = rank of plane l (0 = strongest)
@@ -318,7 +396,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig) -> FitResult:
     Hs_all, ok = generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg)
 
     # C6 + C7: verification sweep, LO growth, candidate selection
-    counts = count_inliers_chunked(Hs_all, x1, x2, valid, cfg) * ok
+    counts = count_inliers(Hs_all, x1, x2, valid, cfg) * ok
     top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
     Hs_top = lo_refine_candidates(
         Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds

@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: tiled hypotheses x correspondences verification.
+
+The build's analog of sequence parallelism (SURVEY.md §5 'long-context',
+§2 P2): a 2-D grid over (hypothesis tile, point tile) computes symmetric
+transfer errors and reduces them to per-hypothesis inlier counts entirely
+on-chip — the full (S, N) residual matrix never exists in HBM, so the 100k
+x 10k stress config (BASELINE.json:10) costs S*9 + 5*N floats of traffic
+instead of S*N.
+
+Layouts are chosen for the VPU's (sublane, lane) tiling:
+- hypotheses ride the sublane axis as (TH, 9) blocks of the (S, 9) array
+  (row-major h entries; each entry read as a (TH, 1) column broadcasts
+  against points),
+- points ride the lane axis packed as an (8, N) array whose rows are
+  [x1, y1, x2, y2, valid, 0, 0, 0] — an exact f32 tile height,
+- the output is (S, 1) accumulated across point tiles (grid's minor axis),
+  so each hypothesis tile's count stays resident while points stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+
+
+def _count_kernel(h_ref, pts_ref, thr_ref, out_ref):
+    j = pl.program_id(1)
+
+    x = pts_ref[0:1, :]
+    y = pts_ref[1:2, :]
+    u = pts_ref[2:3, :]
+    v = pts_ref[3:4, :]
+    valid = pts_ref[4:5, :]
+
+    h = [h_ref[:, k:k + 1] for k in range(9)]  # (TH, 1) each
+
+    def safe_w(w):
+        s = jnp.where(w < 0, -1.0, 1.0)
+        return s * jnp.maximum(jnp.abs(w), _EPS)
+
+    # forward transfer ||pi(H x1) - x2||^2
+    wf = safe_w(h[6] * x + h[7] * y + h[8])
+    uf = (h[0] * x + h[1] * y + h[2]) / wf - u
+    vf = (h[3] * x + h[4] * y + h[5]) / wf - v
+    err = uf * uf + vf * vf
+
+    # backward via adjugate (scale-free inverse), entries are (TH, 1)
+    a0 = h[4] * h[8] - h[5] * h[7]
+    a1 = h[2] * h[7] - h[1] * h[8]
+    a2 = h[1] * h[5] - h[2] * h[4]
+    a3 = h[5] * h[6] - h[3] * h[8]
+    a4 = h[0] * h[8] - h[2] * h[6]
+    a5 = h[2] * h[3] - h[0] * h[5]
+    a6 = h[3] * h[7] - h[4] * h[6]
+    a7 = h[1] * h[6] - h[0] * h[7]
+    a8 = h[0] * h[4] - h[1] * h[3]
+    wb = safe_w(a6 * u + a7 * v + a8)
+    ub = (a0 * u + a1 * v + a2) / wb - x
+    vb = (a3 * u + a4 * v + a5) / wb - y
+    err = err + ub * ub + vb * vb
+
+    inlier = jnp.where(
+        (err < thr_ref[0, 0]) & (valid > 0), 1.0, 0.0
+    )
+    cnt = jnp.sum(inlier, axis=1, keepdims=True)  # (TH, 1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = cnt
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + cnt
+
+
+def pack_points(x1, x2, valid):
+    """(N,2)x2 + (N,) -> (8, N) lane-major packed array."""
+    n = x1.shape[0]
+    zeros = jnp.zeros((3, n), x1.dtype)
+    return jnp.concatenate(
+        [x1.T, x2.T, valid[None, :], zeros], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hyp_tile", "pt_tile", "interpret")
+)
+def inlier_counts(
+    Hs: jax.Array,
+    packed_pts: jax.Array,
+    threshold_sq: jax.Array,
+    hyp_tile: int = 128,
+    pt_tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-hypothesis inlier counts (symmetric transfer error < threshold).
+
+    Args:
+      Hs: (S, 3, 3) float32, S a multiple of hyp_tile (pad with identity).
+      packed_pts: (8, N) from pack_points, N a multiple of pt_tile (the
+        valid row handles padding).
+      threshold_sq: scalar.
+
+    Returns: (S,) float32 counts.
+    """
+    s = Hs.shape[0]
+    n = packed_pts.shape[1]
+    assert s % hyp_tile == 0, (s, hyp_tile)
+    assert n % pt_tile == 0, (n, pt_tile)
+    h_flat = Hs.reshape(s, 9)
+    thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        _count_kernel,
+        grid=(s // hyp_tile, n // pt_tile),
+        in_specs=[
+            pl.BlockSpec(
+                (hyp_tile, 9), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, pt_tile), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (hyp_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, 1), jnp.float32),
+        interpret=interpret,
+    )(h_flat, packed_pts, thr)
+    return out[:, 0]
+
+
+def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
+                         hyp_tile: int = 128, pt_tile: int = 1024,
+                         interpret: bool = False):
+    """Convenience wrapper: pads S and N to tile multiples, packs points,
+    returns (S,) counts for the original hypotheses."""
+    s = Hs.shape[0]
+    n = x1.shape[0]
+    s_pad = (-s) % hyp_tile
+    n_pad = (-n) % pt_tile
+    if s_pad:
+        Hs = jnp.concatenate(
+            [Hs, jnp.broadcast_to(jnp.eye(3, dtype=Hs.dtype),
+                                  (s_pad, 3, 3))]
+        )
+    if n_pad:
+        x1 = jnp.concatenate([x1, jnp.zeros((n_pad, 2), x1.dtype)])
+        x2 = jnp.concatenate([x2, jnp.zeros((n_pad, 2), x2.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((n_pad,), valid.dtype)])
+    packed = pack_points(x1, x2, valid)
+    counts = inlier_counts(
+        Hs, packed, threshold_sq, hyp_tile=hyp_tile, pt_tile=pt_tile,
+        interpret=interpret,
+    )
+    return counts[:s]

@@ -81,6 +81,7 @@ def localized_sample_indices(
     n_samples: int,
     valid_mask: jax.Array,
     nbr_idx: jax.Array,
+    nbr_ok: jax.Array | None = None,
 ) -> jax.Array:
     """Locality-biased sampling: pick a seed point, then 3 of its spatial
     neighbors. Planes are spatially coherent (the premise of Multi-H's
@@ -89,6 +90,11 @@ def localized_sample_indices(
     (SURVEY.md §3.2).
 
     nbr_idx: (N, k) spatial k-NN indices (from the labeling graph, C8).
+    nbr_ok: optional (N, k) {0,1} per-edge preference mask (e.g. "neighbor
+      not yet claimed by a found plane" in progressive sampling). Neighbor
+    slots are drawn without replacement via Gumbel top-3, preferring
+    slots with nbr_ok=1 but falling back gracefully when fewer than 3
+    remain (soft -20 penalty instead of -inf keeps the draw well-defined).
     """
     n, k = nbr_idx.shape
     n_valid = jnp.sum(valid_mask.astype(jnp.int32))
@@ -96,21 +102,10 @@ def localized_sample_indices(
     k_seed, k_nbr = jax.random.split(key)
     seed_rank = jax.random.randint(k_seed, (n_samples,), 0, jnp.maximum(n_valid, 1))
     seeds = order[seed_rank]  # (S,)
-    # choose 3 distinct neighbor slots out of k
-    slot_raw = jax.random.randint(
-        k_nbr, (n_samples, 3), 0, jnp.array([k, k - 1, k - 2])
-    )
-    slots = jax.vmap(_fix_collisions_3)(slot_raw)
+    # Gumbel top-3 over the k neighbor slots, penalizing masked-out slots
+    g = jax.random.gumbel(k_nbr, (n_samples, k))
+    if nbr_ok is not None:
+        g = g + 20.0 * (nbr_ok[seeds] - 1.0)
+    _, slots = jax.lax.top_k(g, 3)  # (S, 3) distinct slots
     picked = jnp.take_along_axis(nbr_idx[seeds], slots, axis=1)  # (S, 3)
     return jnp.concatenate([seeds[:, None], picked], axis=1)
-
-
-def _fix_collisions_3(raw: jax.Array) -> jax.Array:
-    out = [raw[0]]
-    for j in range(1, 3):
-        prev = jnp.sort(jnp.stack(out))
-        r = raw[j]
-        for i in range(j):
-            r = r + (prev[i] <= r).astype(r.dtype)
-        out.append(r)
-    return jnp.stack(out)

@@ -131,12 +131,28 @@ def synthetic_scene(
     Hs = np.stack([_random_homography(rng, image_size) for _ in range(n_planes)])
 
     x1_list, x2_list, lab_list = [], [], []
-    # plane region centers spread over the image
-    centers = rng.uniform(0.25, 0.75, (n_planes, 2)) * image_size
+    # plane region centers on a jittered grid: real multi-plane scenes
+    # (building facades etc.) occupy mostly-disjoint image regions — fully
+    # overlapping clusters would make every spatial neighborhood a plane
+    # mixture, which no sampling strategy (nor the reference) can resolve.
+    g = int(np.ceil(np.sqrt(n_planes)))
+    spacing = image_size / (g + 0.2)
+    cells = [(i, j) for i in range(g) for j in range(g)]
+    rng.shuffle(cells)
+    centers = np.array(
+        [
+            (
+                (ci + 0.6) * spacing + rng.uniform(-0.15, 0.15) * spacing,
+                (cj + 0.6) * spacing + rng.uniform(-0.15, 0.15) * spacing,
+            )
+            for ci, cj in cells[:n_planes]
+        ]
+    )
+    sigma = 0.30 * spacing
     for p in range(n_planes):
         c = counts[p]
         if clustered:
-            pts = centers[p] + rng.normal(0, 0.12 * image_size, (c, 2))
+            pts = centers[p] + rng.normal(0, sigma, (c, 2))
         else:
             pts = rng.uniform(0, image_size, (c, 2))
         pts = np.clip(pts, 0, image_size)

@@ -1,0 +1,285 @@
+"""Reference-style CPU Multi-H: double-precision NumPy PEARL with the C++
+alpha-expansion solver — the behavioral stand-in for the unobtainable C++
+reference binary (SURVEY.md §0, §8.5; reference mount empty all session).
+
+Role (SURVEY.md §2 C10 'parity tool'): generate golden labelings and
+misclassification numbers that the TPU pipeline must match within 0.5%
+absolute (BASELINE.json:5). Everything here favors fidelity over speed:
+float64, numpy SVD DLT, exact alpha-expansion with label costs each PEARL
+iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PearlParams:
+    inlier_threshold: float = 3.0
+    spatial_weight: float = 0.1
+    label_cost: float = 20.0
+    outlier_cost: float = 1.0
+    n_hypotheses: int = 2048
+    n_candidates: int = 256
+    max_labels: int = 16
+    knn_k: int = 6
+    min_inliers: int = 10
+    pearl_iterations: int = 8
+    merge_iou: float = 0.5
+    nms_iou: float = 0.8
+    lo_rounds: int = 3
+    seed: int = 0
+
+
+def _to_h(x):
+    return np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
+
+
+def _transfer(H, x):
+    y = _to_h(x) @ H.T
+    w = y[:, 2:3]
+    w = np.where(np.abs(w) < 1e-12, 1e-12, w)
+    return y[:, :2] / w
+
+
+def _adjugate(m):
+    """Scale-free 3x3 inverse (adjugate) — never raises on singular H; a
+    degenerate homography just produces huge residuals and gets rejected,
+    same as the JAX path."""
+    c = np.empty_like(m)
+    c[0, 0] = m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1]
+    c[0, 1] = m[0, 2] * m[2, 1] - m[0, 1] * m[2, 2]
+    c[0, 2] = m[0, 1] * m[1, 2] - m[0, 2] * m[1, 1]
+    c[1, 0] = m[1, 2] * m[2, 0] - m[1, 0] * m[2, 2]
+    c[1, 1] = m[0, 0] * m[2, 2] - m[0, 2] * m[2, 0]
+    c[1, 2] = m[0, 2] * m[1, 0] - m[0, 0] * m[1, 2]
+    c[2, 0] = m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0]
+    c[2, 1] = m[0, 1] * m[2, 0] - m[0, 0] * m[2, 1]
+    c[2, 2] = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    return c
+
+
+def symmetric_error_sq(H, x1, x2):
+    fwd = np.sum((_transfer(H, x1) - x2) ** 2, axis=1)
+    bwd = np.sum((_transfer(_adjugate(H), x2) - x1) ** 2, axis=1)
+    return fwd + bwd
+
+
+def dlt(x1, x2, w=None):
+    """Weighted normalized DLT, float64 numpy SVD (the oracle path)."""
+    n = x1.shape[0]
+    if w is None:
+        w = np.ones(n)
+    ws = w.sum()
+    if ws < 4:
+        return None
+
+    def norm(x):
+        mean = (x * w[:, None]).sum(0) / ws
+        c = x - mean
+        rms = np.sqrt(((c**2).sum(1) * w).sum() / ws)
+        s = np.sqrt(2.0) / max(rms, 1e-12)
+        T = np.array([[s, 0, -s * mean[0]], [0, s, -s * mean[1]], [0, 0, 1]])
+        return c * s, T
+
+    x1n, T1 = norm(x1)
+    x2n, T2 = norm(x2)
+    a = np.zeros((2 * n, 9))
+    x, y = x1n[:, 0], x1n[:, 1]
+    u, v = x2n[:, 0], x2n[:, 1]
+    a[0::2, 3:6] = -np.stack([x, y, np.ones(n)], 1)
+    a[0::2, 6:9] = np.stack([v * x, v * y, v], 1)
+    a[1::2, 0:3] = np.stack([x, y, np.ones(n)], 1)
+    a[1::2, 6:9] = -np.stack([u * x, u * y, u], 1)
+    sw = np.repeat(np.sqrt(np.maximum(w, 0)), 2)
+    _, _, vt = np.linalg.svd(a * sw[:, None], full_matrices=False)
+    H = np.linalg.inv(T2) @ vt[-1].reshape(3, 3) @ T1
+    return H / np.linalg.norm(H)
+
+
+def knn_graph(pts, k):
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    _, idx = tree.query(pts, k + 1)
+    nbr = idx[:, 1:]
+    n = pts.shape[0]
+    pq = np.stack(
+        [np.repeat(np.arange(n), k), nbr.reshape(-1)], axis=1
+    ).astype(np.int32)
+    return nbr.astype(np.int32), pq, np.ones(n * k)
+
+
+def pearl_fit(x1, x2, p: PearlParams):
+    """Full reference-style fit: hypothesize -> LO -> NMS -> PEARL with
+    alpha-expansion labeling. Returns (labels, homographies, active)."""
+    from multih_tpu import native
+
+    rng = np.random.default_rng(p.seed)
+    n = x1.shape[0]
+    thr = p.inlier_threshold**2
+    nbr, pq, ew = knn_graph(x1, p.knn_k)
+
+    def lo_grow(H, rounds, base_mask=None):
+        """Shrinking-threshold LO + tau polish, keep-if-better at tau."""
+        for ridx in range(rounds + 2):
+            mult = max(4.0 ** (rounds - 1 - ridx), 1.0)
+            rr = symmetric_error_sq(H, x1, x2)
+            w = np.maximum(0, 1 - rr / (thr * mult)) ** 2 * (rr < thr * mult)
+            if base_mask is not None:
+                w = w * base_mask
+            Hn = dlt(x1, x2, w)
+            if Hn is None or not np.isfinite(Hn).all():
+                continue
+            if ((symmetric_error_sq(Hn, x1, x2) < thr).sum()
+                    >= (rr < thr).sum()):
+                H = Hn
+        return H
+
+    # Progressive guided sampling (role of C5+C7: the reference draws one
+    # hypothesis per correspondence from affine frames; point-only input
+    # needs re-sampling to reach the same coverage): in each round, sample
+    # only among points not yet claimed by a found plane, grow the best
+    # hypotheses by LO, claim their inliers, repeat. Guarantees later
+    # (smaller / more occluded) planes get clean dense samples instead of
+    # competing with already-found structures.
+    claimed = np.zeros(n, bool)
+    rounds = 5
+    per_round = p.n_hypotheses // rounds
+    Hs = []
+    for _ in range(rounds):
+        avail = np.where(~claimed)[0]
+        if avail.size < 8:
+            break
+        round_H = []
+        for s in range(per_round):
+            if s % 2 == 0:
+                idx = rng.choice(avail, 4, replace=False)
+            else:
+                seed_pt = rng.choice(avail)
+                nb = [q for q in nbr[seed_pt] if not claimed[q]]
+                if len(nb) < 3:
+                    nb = list(nbr[seed_pt])
+                idx = np.concatenate(
+                    [[seed_pt], rng.choice(nb, 3, replace=False)]
+                )
+            H = dlt(x1[idx], x2[idx])
+            if H is not None and np.isfinite(H).all():
+                round_H.append(H)
+        if not round_H:
+            continue
+        round_H = np.stack(round_H)
+        # rank by inliers among UNCLAIMED points, grow the best few
+        r_avail = np.stack(
+            [symmetric_error_sq(H, x1[avail], x2[avail]) for H in round_H]
+        )
+        order = np.argsort(-(r_avail < thr).sum(1))
+        grown = []
+        for i in order[: max(8, p.n_candidates // rounds)]:
+            grown.append(lo_grow(round_H[i], p.lo_rounds))
+        Hs.extend(grown)
+        # claim: the single best grown hypothesis takes its tau-inliers
+        best = max(
+            grown,
+            key=lambda H: (symmetric_error_sq(H, x1, x2) < thr).sum(),
+        )
+        claimed |= symmetric_error_sq(best, x1, x2) < thr
+    Hs = np.stack(Hs)
+
+    # NMS by inlier IoU
+    r = np.stack([symmetric_error_sq(H, x1, x2) for H in Hs])
+    masks = r < thr
+    counts = masks.sum(1)
+    order = np.argsort(-counts)
+    picked = []
+    for i in order:
+        if counts[i] < p.min_inliers or len(picked) >= p.max_labels:
+            break
+        dup = False
+        for j in picked:
+            inter = (masks[i] & masks[j]).sum()
+            union = (masks[i] | masks[j]).sum()
+            if union and inter / union >= p.nms_iou:
+                dup = True
+                break
+        if not dup:
+            picked.append(i)
+    Hs = Hs[picked]
+    k = len(Hs)
+    if k == 0:
+        return np.full(n, 0, np.int32), np.zeros((0, 3, 3)), []
+
+    active = list(range(k))
+    labels = np.full(n, k, np.int32)  # outlier = index k
+    for it in range(p.pearl_iterations):
+        if not active:
+            break
+        # PEARL label-cost schedule: growth phase first (beta=0 lets every
+        # candidate acquire its full support through refits), model
+        # selection in the second half — candidate value must be judged at
+        # full support, or real planes with initially-weak hypotheses get
+        # killed before they can grow (same gating as the TPU pipeline).
+        beta = p.label_cost if it >= p.pearl_iterations // 2 else 0.0
+        # data costs over active labels + outlier
+        r = np.stack([symmetric_error_sq(Hs[l], x1, x2) for l in active])
+        d = np.concatenate(
+            [
+                np.minimum(r / thr, 8.0).T * p.outlier_cost,
+                np.full((n, 1), p.outlier_cost),
+            ],
+            axis=1,
+        )
+        h = np.concatenate([np.full(len(active), beta), [0.0]])
+        lab_idx, _ = native.expansion_solve(
+            d, pq, ew, p.spatial_weight, h
+        )
+        labels = np.array(
+            [active[l] if l < len(active) else k for l in lab_idx],
+            np.int32,
+        )
+        # refit on Tukey-weighted members; planes keep their H (and stay in
+        # the label set, as gco does) even when temporarily under-supported
+        # during the growth phase
+        new_active = []
+        for l in active:
+            member = labels == l
+            if it >= p.pearl_iterations // 2 and member.sum() < p.min_inliers:
+                continue
+            if member.sum() >= 4:
+                rr = symmetric_error_sq(Hs[l], x1, x2)
+                w = member * np.maximum(0, 1 - rr / thr) ** 2 * (rr < thr)
+                H = dlt(x1, x2, w)
+                if H is not None and np.isfinite(H).all():
+                    if ((symmetric_error_sq(H, x1, x2) < thr).sum()
+                            >= (rr < thr).sum()):
+                        Hs[l] = H
+            new_active.append(l)
+        # merge duplicates by inlier-set containment (intersection over the
+        # smaller set): fringe fragments mostly contained in a stronger
+        # plane merge away even when union-IoU is small
+        merged = []
+        masks = {
+            l: symmetric_error_sq(Hs[l], x1, x2) < thr for l in new_active
+        }
+        for l in sorted(new_active, key=lambda l: -masks[l].sum()):
+            dup = any(
+                (masks[l] & masks[m]).sum()
+                / max(min(masks[l].sum(), masks[m].sum()), 1)
+                >= p.merge_iou
+                for m in merged
+            )
+            if not dup:
+                merged.append(l)
+        active = merged
+        labels = np.where(np.isin(labels, active), labels, k)
+
+    return labels, Hs, active
+
+
+def misclassification_vs_gt(labels, gt, outlier_label):
+    from multih_tpu.utils import evaluation
+
+    return evaluation.misclassification_error(labels, gt, outlier_label)
