@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30
+_HI = jax.lax.Precision.HIGHEST  # fp32 matmuls (TPU defaults to bf16)
 
 
 # ---------------------------------------------------------------------------
@@ -41,7 +42,7 @@ def knn_graph(pts: jax.Array, valid: jax.Array, k: int):
     n = pts.shape[0]
     sq = jnp.sum(pts * pts, axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
-        pts, pts.T, preferred_element_type=jnp.float32
+        pts, pts.T, preferred_element_type=jnp.float32, precision=_HI
     )
     big = jnp.asarray(1e30, d2.dtype)
     d2 = d2 + jnp.where(valid[None, :] > 0, 0.0, big)  # exclude padding
@@ -128,7 +129,8 @@ def _neighbor_agreement(p: jax.Array, nbr_idx: jax.Array, nbr_w: jax.Array):
     Delaunay adjacency does by construction.
 
     p: (N, L) marginals or one-hot labels. Returns (N, L)."""
-    direct = jnp.einsum("nkl,nk->nl", p[nbr_idx], nbr_w)
+    direct = jnp.einsum("nkl,nk->nl", p[nbr_idx], nbr_w,
+                        precision=_HI)
     contrib = (nbr_w[..., None] * p[:, None, :]).reshape(-1, p.shape[1])
     rev = jnp.zeros_like(p).at[nbr_idx.reshape(-1)].add(contrib)
     return 0.5 * (direct + rev)

@@ -377,7 +377,8 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     return (Hs, active, q), energy
 
 
-def fit(x1, x2, valid, key, cfg: MultiHConfig) -> FitResult:
+def fit(x1, x2, valid, key, cfg: MultiHConfig,
+        affines=None) -> FitResult:
     """Full Multi-H fit on one (padded) correspondence set.
 
     Args:
@@ -385,6 +386,11 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig) -> FitResult:
       valid: (N,) float {0,1}.
       key: jax PRNG key.
       cfg: static MultiHConfig.
+      affines: optional (N, 2, 2) local affine frames (dp2/dp1 around each
+        correspondence, e.g. from SIFT shape). When given, the paper's
+        one-point hypothesis path is added to the pool: F is estimated from
+        all correspondences and one homography per point is derived from
+        (F, p1, p2, A) — Multi-H paper §3.1, reference C4+C5.
     """
     k = cfg.max_labels
     thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
@@ -393,7 +399,21 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig) -> FitResult:
     nbr_idx, nbr_w = labeling.knn_graph(x1, valid, cfg.knn_k)
 
     # C5: hypothesis pool
-    Hs_all, ok = generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg)
+    key, k_gen, k_f = jax.random.split(key, 3)
+    Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_idx, cfg)
+    if affines is not None:
+        from multih_tpu.ops import epipolar
+
+        F = epipolar.estimate_fundamental(
+            k_f, x1, x2, valid, n_samples=min(512, cfg.n_hypotheses),
+            threshold=max(1.0, cfg.inlier_threshold / 3.0),
+        )
+        H_aff = epipolar.homography_one_point_batch(F, x1, x2, affines)
+        finite = jnp.all(jnp.isfinite(H_aff.reshape(-1, 9)), axis=1)
+        Hs_all = jnp.concatenate([Hs_all, H_aff], axis=0)
+        ok = jnp.concatenate(
+            [ok, valid * finite.astype(x1.dtype)], axis=0
+        )
 
     # C6 + C7: verification sweep, LO growth, candidate selection
     counts = count_inliers(Hs_all, x1, x2, valid, cfg) * ok

@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+# TPU matmuls default to bf16 operand precision; geometry dies at bf16
+# (normal matrices, similarity transforms). Every contraction in this
+# package pins full fp32.
+_HI = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
@@ -133,9 +137,10 @@ def dlt_normal_matrix(
     if weights is not None:
         # sqrt-free A^T W A: weight one factor only.
         return jnp.einsum(
-            "nki,nkj->ij", rows * weights[..., None, None], rows
+            "nki,nkj->ij", rows * weights[..., None, None], rows,
+            precision=_HI,
         )
-    return jnp.einsum("nki,nkj->ij", rows, rows)
+    return jnp.einsum("nki,nkj->ij", rows, rows, precision=_HI)
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +332,8 @@ def _denormalize_h(Hn: jax.Array, T1: jax.Array, T2: jax.Array) -> jax.Array:
     )
     T2_inv = T2_inv.at[0, 0].set(1.0 / s).at[1, 1].set(1.0 / s)
     T2_inv = T2_inv.at[0, 2].set(-T2[0, 2] / s).at[1, 2].set(-T2[1, 2] / s)
-    H = T2_inv @ Hn @ T1
+    H = jnp.matmul(jnp.matmul(T2_inv, Hn, precision=_HI), T1,
+                   precision=_HI)
     H = H / jnp.maximum(jnp.linalg.norm(H), _EPS)
     return H * jnp.where(H[2, 2] < 0, -1.0, 1.0)
 
@@ -382,7 +388,7 @@ quad_degenerate_batch = jax.vmap(quad_degenerate, in_axes=(0, None))
 def _forward_transfer_sq(H, x1h, x2):
     """||pi(H x1) - x2||^2. H: (..., 3, 3), x1h: (N, 3), x2: (N, 2) ->
     (..., N)."""
-    y = jnp.einsum("...ab,nb->...na", H, x1h)
+    y = jnp.einsum("...ab,nb->...na", H, x1h, precision=_HI)
     return jnp.sum((from_homogeneous(y) - x2) ** 2, axis=-1)
 
 
@@ -403,7 +409,7 @@ def sampson_error_sq_h(H: jax.Array, x1: jax.Array, x2: jax.Array):
     homography. Uses the two independent rows of x2 x (H x1) = 0 and their
     Jacobian w.r.t. (x1, x2). H: (..., 3, 3) -> (..., N)."""
     x1h = to_homogeneous(x1)  # (N, 3)
-    Hx = jnp.einsum("...ab,nb->...na", H, x1h)  # (..., N, 3)
+    Hx = jnp.einsum("...ab,nb->...na", H, x1h, precision=_HI)  # (..., N, 3)
     u, v = x2[..., 0], x2[..., 1]
     # algebraic error: e1 = v * Hx_2 - Hx_1 (y-row), e2 = Hx_0 - u * Hx_2
     e1 = v * Hx[..., 2] - Hx[..., 1]

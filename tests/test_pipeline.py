@@ -126,3 +126,36 @@ class TestResultContract:
         for l in set(lab.tolist()):
             if l < k:
                 assert act[l] > 0
+
+
+class TestAffinePath:
+    def test_fit_with_affine_hypotheses(self, small_cfg):
+        """The paper's C4+C5 path: F + per-point affine frames feed
+        one-point hypotheses into the pool (Multi-H paper §3.1)."""
+        import jax
+        from multih_tpu.utils import features
+
+        cs, H_true = data.synthetic_scene(
+            n_points=300, n_planes=2, outlier_rate=0.1, noise_px=0.3,
+            seed=21,
+        )
+        affines = features.affines_from_homographies(
+            H_true, cs.gt_labels - 1, cs.x1, outlier_label=-1
+        )
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, small_cfg.max_points
+        )
+        aff = np.zeros((small_cfg.max_points, 2, 2), np.float32)
+        aff[: cs.n_points] = affines
+        aff[cs.n_points:] = np.eye(2)
+
+        import functools
+        from multih_tpu.models import pipeline
+
+        f = jax.jit(functools.partial(pipeline.fit, cfg=small_cfg))
+        res = f(x1, x2, valid, jax.random.key(0), affines=jnp.asarray(aff))
+        err = evaluation.misclassification_error(
+            np.asarray(res.labels), gt, small_cfg.max_labels
+        )
+        assert int(np.asarray(res.active).sum()) == 2
+        assert err < 3.0, err

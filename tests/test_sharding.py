@@ -14,7 +14,7 @@ from multih_tpu.utils import data, evaluation
 @pytest.fixture(scope="module")
 def tiny_cfg():
     return multih_tpu.MultiHConfig(
-        max_points=128, n_hypotheses=256, n_candidates=64, max_labels=8
+        max_points=128, n_hypotheses=512, n_candidates=64, max_labels=8
     )
 
 

@@ -1,0 +1,96 @@
+"""Streaming harness (BASELINE.json:11), feature front-end (C3) and
+visualization (C15) tests."""
+
+import numpy as np
+import pytest
+
+import multih_tpu
+from multih_tpu.utils import data, evaluation, features, streaming, viz
+
+
+class TestSyntheticStream:
+    def test_frames_are_coherent_and_labeled(self):
+        st = streaming.SyntheticStream(
+            n_frames=5, n_points=200, n_planes=2, seed=3
+        )
+        frames = list(st)
+        assert len(frames) == 5
+        # same points/labels across frames, x2 drifts smoothly
+        for a, b in zip(frames, frames[1:]):
+            np.testing.assert_array_equal(a.x1, b.x1)
+            np.testing.assert_array_equal(a.gt_labels, b.gt_labels)
+            sel = a.gt_labels > 0
+            d = np.linalg.norm(a.x2[sel] - b.x2[sel], axis=1)
+            assert np.median(d) < 30.0  # smooth drift, not a scene cut
+
+    def test_run_stream_fits_frames(self):
+        cfg = multih_tpu.MultiHConfig(
+            max_points=256, n_hypotheses=512, max_labels=8,
+            n_candidates=64,
+        )
+        st = streaming.SyntheticStream(
+            n_frames=4, n_points=200, n_planes=2, seed=3
+        )
+        stats = streaming.run_stream(st, cfg, budget_ms=1e9)
+        assert stats.frames == 4
+        assert stats.mean_planes >= 1.5, stats
+        assert stats.mean_ms > 0
+
+
+class TestFeatureFrontend:
+    def test_detect_and_match_planar_pair(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(0)
+        img1 = (rng.uniform(0, 255, (240, 320)) > 200).astype(
+            np.uint8
+        ) * 255
+        img1 = cv2.GaussianBlur(img1, (5, 5), 1.0)
+        H = np.array([[1.0, 0.02, 5.0], [-0.02, 1.0, 3.0], [0, 0, 1.0]])
+        img2 = cv2.warpPerspective(img1, H, (320, 240))
+        cs, affines = features.detect_and_match(img1, img2, ratio=0.9)
+        if cs.n_points < 8:
+            pytest.skip("too few SIFT matches on random texture")
+        assert affines.shape == (cs.n_points, 2, 2)
+        # matched points should mostly satisfy the warp
+        x1h = np.concatenate(
+            [cs.x1, np.ones((cs.n_points, 1), np.float32)], 1
+        )
+        y = x1h @ H.T.astype(np.float32)
+        pred = y[:, :2] / y[:, 2:]
+        err = np.linalg.norm(pred - cs.x2, axis=1)
+        assert np.median(err) < 3.0
+
+    def test_affines_from_homographies(self):
+        H = np.array([[1.1, 0.05, 3.0], [0.02, 0.9, -2.0],
+                      [1e-4, -5e-5, 1.0]], np.float32)
+        x1 = np.array([[100.0, 120.0], [300.0, 200.0]], np.float32)
+        A = features.affines_from_homographies(
+            np.stack([H]), np.zeros(2, np.int64), x1, outlier_label=9
+        )
+        # compare to central differences
+        for i, p in enumerate(x1):
+            eps = 0.5
+
+            def f(q):
+                y = H @ np.array([q[0], q[1], 1.0])
+                return y[:2] / y[2]
+
+            J = np.stack(
+                [
+                    (f(p + [eps, 0]) - f(p - [eps, 0])) / (2 * eps),
+                    (f(p + [0, eps]) - f(p - [0, eps])) / (2 * eps),
+                ],
+                axis=1,
+            )
+            np.testing.assert_allclose(A[i], J, atol=1e-3)
+
+
+class TestViz:
+    def test_draw_labels_shapes(self):
+        rng = np.random.default_rng(1)
+        x1 = rng.uniform(0, 300, (50, 2)).astype(np.float32)
+        x2 = rng.uniform(0, 300, (50, 2)).astype(np.float32)
+        labels = rng.integers(0, 3, 50)
+        img = viz.draw_labels(x1, x2, labels, outlier_label=2)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.dtype == np.uint8
