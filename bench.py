@@ -82,12 +82,55 @@ def bench_pair_latency(iters=20):
     return times[len(times) // 2]
 
 
+def bench_stream(n_frames=40):
+    """BASELINE.json:11: per-frame latency on a streaming stereo sequence
+    (KITTI stand-in) against the 30 fps budget."""
+    import multih_tpu
+    from multih_tpu.utils import streaming
+
+    cfg = multih_tpu.MultiHConfig(max_points=512, n_hypotheses=1024)
+    st = streaming.SyntheticStream(
+        n_frames=n_frames, n_points=480, n_planes=3, outlier_rate=0.15,
+        noise_px=0.5, seed=7,
+    )
+    return streaming.run_stream(st, cfg, budget_ms=33.3)
+
+
+def bench_stress(iters=3):
+    """BASELINE.json:10: full fit at 10k pts / 70% outliers / 8 planes /
+    100k hypotheses — median blocked latency, fresh keys."""
+    import jax
+    import jax.numpy as jnp
+
+    import multih_tpu
+    from multih_tpu.utils import data
+
+    cfg = multih_tpu.MultiHConfig(
+        max_points=10240, n_hypotheses=102400, n_candidates=256,
+        max_labels=16, residual_chunk=4096,
+    )
+    cs, _ = data.synthetic_scene(10000, 8, 0.7, 0.5, seed=42)
+    x1, x2, valid = multih_tpu.pad_points(cs.x1, cs.x2, None, cfg.max_points)
+    x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+    f = multih_tpu.make_fit(cfg)
+    jax.block_until_ready(f(x1, x2, valid, jax.random.key(0)))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def main():
     # pair latency first: the 64k-hypothesis sweep leaves the axon-tunneled
     # device in a state where later small dispatches run ~100x slower, which
     # would corrupt the latency measurement (order-dependence observed on
     # the shared dev chip; a local chip should not care).
     pair_s = bench_pair_latency()
+    stream = bench_stream()
+    stress_s = bench_stress()
     hyp_per_s, sweep_s = bench_hypothesis_throughput()
     target = 50_000.0  # BASELINE.json:5
     print(
@@ -100,6 +143,10 @@ def main():
                 "secondary": {
                     "pair_fit_latency_ms": round(pair_s * 1e3, 3),
                     "pair_latency_target_ms": 10.0,
+                    "stream_p95_ms": round(stream.p95_ms, 3),
+                    "stream_fps": round(stream.fps, 1),
+                    "stream_budget_ms": 33.3,
+                    "stress_fit_ms": round(stress_s * 1e3, 1),
                     "stress_sweep_s": round(sweep_s, 4),
                 },
             }
