@@ -36,7 +36,7 @@ def main():
 
     rows = []
     for (cs, _), row in zip(suite.scenes(), suite.SUITE):
-        tau = max(3.0, 4.0 * row[4])
+        tau = suite.tau_for_noise(row[4])
         n_pad = 1 << max(6, (cs.n_points - 1).bit_length())
         cfg = multih_tpu.MultiHConfig(
             inlier_threshold=tau, max_points=n_pad,

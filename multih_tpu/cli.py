@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -67,6 +68,19 @@ def _setup_jax(platform):
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    # persistent compilation cache: keeps CLI cold-start acceptable across
+    # invocations (SURVEY.md §5 'checkpoint/resume' — the only durable
+    # state this pipeline has is compiled executables)
+    cache = os.environ.get(
+        "MULTIH_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "multih_tpu_jit"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     return jax
 
 

@@ -396,11 +396,13 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
 
     # C8: spatial neighborhood (also feeds localized sampling)
-    nbr_idx, nbr_w = labeling.knn_graph(x1, valid, cfg.knn_k)
+    with jax.named_scope("knn_graph"):
+        nbr_idx, nbr_w = labeling.knn_graph(x1, valid, cfg.knn_k)
 
     # C5: hypothesis pool
     key, k_gen, k_f = jax.random.split(key, 3)
-    Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_idx, cfg)
+    with jax.named_scope("hypothesize"):
+        Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_idx, cfg)
     if affines is not None:
         from multih_tpu.ops import epipolar
 
@@ -416,17 +418,20 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         )
 
     # C6 + C7: verification sweep, LO growth, candidate selection
-    counts = count_inliers(Hs_all, x1, x2, valid, cfg) * ok
-    top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
-    Hs_top = lo_refine_candidates(
-        Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds
-    )
-    r_top = geometry.residual_matrix(Hs_top, x1, x2, cfg.residual)
-    grown_counts = jnp.sum((r_top < thr) * valid[None, :], axis=1)
-    cand_idx, cand_active = selection.select_candidates(
-        r_top, valid, thr, jnp.ones_like(grown_counts), cfg.n_candidates,
-        k, cfg.nms_iou,
-    )
+    with jax.named_scope("verify"):
+        counts = count_inliers(Hs_all, x1, x2, valid, cfg) * ok
+        top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
+    with jax.named_scope("lo_refine"):
+        Hs_top = lo_refine_candidates(
+            Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds
+        )
+    with jax.named_scope("select"):
+        r_top = geometry.residual_matrix(Hs_top, x1, x2, cfg.residual)
+        grown_counts = jnp.sum((r_top < thr) * valid[None, :], axis=1)
+        cand_idx, cand_active = selection.select_candidates(
+            r_top, valid, thr, jnp.ones_like(grown_counts),
+            cfg.n_candidates, k, cfg.nms_iou,
+        )
     Hs = Hs_top[cand_idx]  # (K, 3, 3)
     active = cand_active * (
         grown_counts[cand_idx] >= cfg.min_inliers
@@ -445,12 +450,14 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg
         )
 
-    (Hs, active, q), energies = jax.lax.scan(
-        step, (Hs, active, q0), jnp.arange(cfg.pearl_iterations)
-    )
+    with jax.named_scope("pearl"):
+        (Hs, active, q), energies = jax.lax.scan(
+            step, (Hs, active, q0), jnp.arange(cfg.pearl_iterations)
+        )
 
     # final hard assignment (same two-start scheme as the loop)
-    r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+    with jax.named_scope("finalize"):
+        r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
     dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, active)
     labels = labeling.best_labeling(
         [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],

@@ -74,6 +74,49 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh):
     )
 
 
+def sharded_verification(cfg: MultiHConfig, mesh: Mesh):
+    """P3's intra-pair axis: the hypothesis pool sharded over the mesh's
+    'hyp' axis via shard_map. Each device verifies its own hypothesis
+    shard against the (replicated) points — counts need no collective;
+    the global top-M is a distributed top-k: local top-M, all_gather of
+    the (count, index) candidates, then a replicated final top-M. This is
+    what scales the 100k-hypothesis stress pools (BASELINE.json:10) past
+    one chip.
+
+    Returns f(Hs (S,3,3), x1, x2, valid) -> (top_counts (M,), top_idx (M,))
+    with S divisible by the 'hyp' axis size.
+    """
+    from jax import shard_map
+
+    from multih_tpu.models import pipeline
+
+    n_hyp_shards = mesh.shape["hyp"]
+    m = cfg.n_candidates
+
+    def local_fn(Hs_blk, x1, x2, valid):
+        # Hs_blk: (S/n, 3, 3) local shard; points replicated
+        counts = pipeline.count_inliers(Hs_blk, x1, x2, valid, cfg)
+        c_loc, i_loc = jax.lax.top_k(counts, m)
+        shard = jax.lax.axis_index("hyp")
+        gidx = i_loc + shard * Hs_blk.shape[0]
+        # gather every shard's candidates, final top-M replicated
+        c_all = jax.lax.all_gather(c_loc, "hyp").reshape(-1)
+        i_all = jax.lax.all_gather(gidx, "hyp").reshape(-1)
+        c_top, pos = jax.lax.top_k(c_all, m)
+        return c_top, i_all[pos]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("hyp"), P(), P(), P()),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (all_gather + identical final top_k on
+        # every shard) but the static checker cannot infer it
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def run_benchmark_batch(pairs, cfg: MultiHConfig, mesh: Mesh | None = None,
                         seed: int = 0):
     """Fit a list of CorrespondenceSets as one sharded batch; returns a

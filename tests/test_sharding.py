@@ -69,3 +69,46 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestHypothesisSharding:
+    def test_sharded_verification_matches_unsharded(self, tiny_cfg, pairs):
+        """P3 hypothesis-axis shard_map: global top-M from sharded counts
+        equals the single-device result."""
+        import jax.numpy as jnp
+        import functools
+        from multih_tpu.models import pipeline
+        from multih_tpu.models import labeling
+        from multih_tpu.ops import geometry
+
+        mesh = sharding.make_mesh(jax.devices()[:8], pair_axis=1)  # 8-way hyp
+        assert mesh.shape["hyp"] == 8
+        cs = pairs[0]
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, tiny_cfg.max_points
+        )
+        x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+        nbr_idx, _ = labeling.knn_graph(x1, valid, tiny_cfg.knn_k)
+        key = jax.random.key(3)
+        Hs, ok = jax.jit(functools.partial(
+            pipeline.generate_hypotheses, cfg=tiny_cfg
+        ))(key, x1, x2, valid, nbr_idx)
+        # pad pool to a multiple of 8
+        s = Hs.shape[0]
+        pad = (-s) % 8
+        if pad:
+            Hs = jnp.concatenate(
+                [Hs, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]
+            )
+
+        f = sharding.sharded_verification(tiny_cfg, mesh)
+        with mesh:
+            c_top, i_top = f(Hs, x1, x2, valid)
+
+        ref_counts = pipeline.count_inliers(Hs, x1, x2, valid, tiny_cfg)
+        ref_c, ref_i = jax.lax.top_k(ref_counts, tiny_cfg.n_candidates)
+        np.testing.assert_array_equal(np.asarray(c_top), np.asarray(ref_c))
+        # indices may tie-break differently; counts at those indices match
+        np.testing.assert_array_equal(
+            np.asarray(ref_counts)[np.asarray(i_top)], np.asarray(ref_c)
+        )

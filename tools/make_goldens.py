@@ -32,7 +32,7 @@ def main():
 
     summary = {}
     for (cs, H_true), row in zip(suite.scenes(), suite.SUITE):
-        tau = max(3.0, 4.0 * row[4])
+        tau = suite.tau_for_noise(row[4])
         p = rp.PearlParams(
             inlier_threshold=tau, n_hypotheses=args.hypotheses
         )
