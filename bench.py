@@ -71,12 +71,13 @@ def bench_pair_latency(iters=20):
     x1, x2, valid = multih_tpu.pad_points(cs.x1, cs.x2, None, cfg.max_points)
     x1, x2, valid = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid)
     f = multih_tpu.make_fit(cfg)
-    key = jax.random.key(0)
-    jax.block_until_ready(f(x1, x2, valid, key))  # compile
+    jax.block_until_ready(f(x1, x2, valid, jax.random.key(0)))  # compile
     times = []
-    for _ in range(iters):
+    # fresh key per call: the dev tunnel memoizes identical
+    # (executable, inputs) calls, which would fake the measurement
+    for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x1, x2, valid, key))
+        jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

@@ -237,7 +237,12 @@ def merge_duplicate_planes(r, support, active, thr, merge_iou: float):
     inter = jnp.dot(masks, masks.T, preferred_element_type=jnp.float32)
     smaller = jnp.minimum(counts[:, None], counts[None, :])
     iou = inter / jnp.maximum(smaller, 1.0)
-    order = jnp.argsort(-counts)  # strongest first
+    # keep-order MUST follow label support (who actually owns members),
+    # not raw inlier count: otherwise a member-less duplicate can win the
+    # merge and immediately die to the min-support prune, erasing the
+    # plane entirely (labels are assigned to the lowest-indexed of several
+    # near-identical candidates; its duplicates hold no members).
+    order = jnp.argsort(-(support + 1e-3 * counts))  # support, count ties
 
     pos = jnp.argsort(order)  # pos[l] = rank of plane l (0 = strongest)
 

@@ -163,8 +163,10 @@ def run_stream(
         jax.block_until_ready(f(*d, sub))
         times.append(time.perf_counter() - t0)
 
-    # pass 2: pipelined throughput at the given depth
-    key = jax.random.key(seed)
+    # pass 2: pipelined throughput at the given depth. Different key
+    # stream than pass 1 — the dev tunnel memoizes repeated identical
+    # (executable, inputs) calls, which would fake the throughput.
+    key = jax.random.key(seed + 104729)
     inflight = collections.deque()
     results = []
     t0 = time.perf_counter()

@@ -94,3 +94,18 @@ class TestViz:
         img = viz.draw_labels(x1, x2, labels, outlier_label=2)
         assert img.ndim == 3 and img.shape[2] == 3
         assert img.dtype == np.uint8
+
+
+class TestDirectoryStream:
+    def test_reads_sorted_files(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            cs, _ = data.synthetic_scene(50, 1, 0.0, 0.0, seed=i)
+            data.save_correspondences_txt(
+                str(tmp_path / f"frame{i:03d}.txt"), cs
+            )
+        st = streaming.DirectoryStream(str(tmp_path))
+        frames = list(st)
+        assert len(frames) == 3
+        assert frames[0].n_points == 50
+        assert frames[0].gt_labels is not None
