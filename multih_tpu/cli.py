@@ -61,6 +61,8 @@ def _add_common(p: argparse.ArgumentParser):
                    help="emit machine-readable JSON on stdout")
     p.add_argument("--save-labels", default=None,
                    help="write per-point labels to this file")
+    p.add_argument("--save-viz", default=None,
+                   help="write a label visualization image (png/jpg)")
 
 
 def _setup_jax(platform):
@@ -149,6 +151,12 @@ def _fit_one(cs, args):
                 print("   ", " ".join(f"{v:+.6e}" for v in row))
     if args.save_labels:
         np.savetxt(args.save_labels, labels, fmt="%d")
+    if args.save_viz:
+        from multih_tpu.utils import viz
+
+        viz.save_labels_figure(
+            args.save_viz, cs.x1, cs.x2, labels, cfg.max_labels
+        )
     return out
 
 
@@ -191,6 +199,34 @@ def cmd_bench_adelaide(args):
           f"{np.nanmean(errs):.2f}%")
 
 
+def cmd_stream(args):
+    from multih_tpu.utils import streaming
+
+    _setup_jax(args.platform)
+    args.n_points_hint = 480
+    cfg = _build_config(args)
+    if args.source == "synth":
+        src = streaming.SyntheticStream(n_frames=args.frames, n_points=480,
+                                        n_planes=3, seed=args.seed)
+    else:
+        src = streaming.DirectoryStream(args.source)
+    stats = streaming.run_stream(
+        src, cfg, budget_ms=args.budget_ms,
+        pipeline_depth=args.pipeline_depth,
+    )
+    out = {
+        "frames": stats.frames,
+        "fps": round(stats.fps, 1),
+        "latency_p50_ms": round(stats.p50_ms, 3),
+        "latency_p95_ms": round(stats.p95_ms, 3),
+        "mean_planes": round(stats.mean_planes, 2),
+        "budget_ms": stats.budget_ms,
+        "meets_budget": stats.meets_budget(),
+    }
+    print(json.dumps(out) if args.json else
+          "\n".join(f"{k}: {v}" for k, v in out.items()))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="multih",
@@ -216,6 +252,19 @@ def main(argv=None):
     p_b.add_argument("root", help="directory containing the .mat files")
     _add_common(p_b)
     p_b.set_defaults(fn=cmd_bench_adelaide)
+
+    p_st = sub.add_parser(
+        "stream",
+        help="per-frame fitting on a frame stream (dir of files, or "
+             "'synth') under a real-time budget",
+    )
+    p_st.add_argument("source", help="directory of .txt/.mat frames, or "
+                                     "'synth' for the synthetic stream")
+    p_st.add_argument("--frames", type=int, default=60)
+    p_st.add_argument("--budget-ms", type=float, default=33.3)
+    p_st.add_argument("--pipeline-depth", type=int, default=3)
+    _add_common(p_st)
+    p_st.set_defaults(fn=cmd_stream)
 
     args = ap.parse_args(argv)
     args.fn(args)

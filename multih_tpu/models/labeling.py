@@ -11,8 +11,9 @@ trip counts, living inside the same jit as the rest of the pipeline. Label
 costs are handled PEARL-style at the outer loop (support-based pruning via
 an active-label mask), not inside the relaxation.
 
-Energy convention: data costs are truncated at 1.0 (the cost of the outlier
-label times cfg.outlier_cost); labels are 0..K-1 = planes, K = outlier.
+Energy convention: plane data costs are a truncated quadratic that crosses
+the outlier cost exactly at the inlier threshold (see data_costs); labels
+are 0..K-1 = planes, K = outlier.
 """
 
 from __future__ import annotations
