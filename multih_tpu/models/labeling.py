@@ -269,7 +269,9 @@ def best_labeling(
     """Run ICM from several start labelings and return the lowest-energy
     result — a restart strategy standing in for alpha-expansion's larger
     move space. Branch-free: all starts are polished, the winner selected
-    with a where."""
+    by energy. (Measured note: vmapping the starts lowers the per-sweep
+    neighbor gathers to a slower batched form on TPU — sequential starts
+    are ~1.7x faster at N=10k, so this stays a Python loop.)"""
     polished = [
         icm(s, dcost, nbr_idx, nbr_w, spatial_weight, icm_iterations)
         for s in starts

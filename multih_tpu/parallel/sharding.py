@@ -52,12 +52,21 @@ def batched_fit(cfg: MultiHConfig):
     return jax.vmap(f, in_axes=(0, 0, 0, 0))
 
 
+_SHARDED_FIT_CACHE: dict = {}
+
+
 def sharded_fit(cfg: MultiHConfig, mesh: Mesh):
     """Batched fit with the pair axis sharded over the mesh's 'pair' axis.
 
     Inputs: x1, x2 (B, N, 2); valid (B, N); keys (B,) PRNG keys.
     B must be a multiple of the mesh 'pair' axis size (pad with dummy pairs).
+    The jitted callable is cached per (cfg, mesh): a fresh closure per call
+    would retrace and recompile every time.
     """
+    cache_key = (cfg, mesh)
+    hit = _SHARDED_FIT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     vf = batched_fit(cfg)
     in_shardings = (
         NamedSharding(mesh, P("pair", None, None)),  # x1
@@ -69,9 +78,11 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh):
         lambda _: NamedSharding(mesh, P("pair")),
         pipeline.FitResult(*(None,) * 7),
     )
-    return jax.jit(
+    f = jax.jit(
         vf, in_shardings=in_shardings, out_shardings=out_shardings
     )
+    _SHARDED_FIT_CACHE[cache_key] = f
+    return f
 
 
 def sharded_verification(cfg: MultiHConfig, mesh: Mesh):

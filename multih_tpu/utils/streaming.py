@@ -70,20 +70,39 @@ class SyntheticStream:
 
 class DirectoryStream:
     """Stream of correspondence files (text 'x y x2 y2 [label]' or .mat),
-    sorted by name — e.g. precomputed per-frame KITTI matches."""
+    sorted by name — e.g. precomputed per-frame KITTI matches.
+
+    Malformed or unreadable frames are skipped with a warning rather than
+    killing the stream (SURVEY.md §5 'failure detection': a streaming
+    pipeline re-inits on bad frames; there is no elastic runtime to build
+    for a sub-millisecond per-frame fit)."""
 
     def __init__(self, root: str):
         self.paths = sorted(
             os.path.join(root, f) for f in os.listdir(root)
             if f.endswith((".txt", ".mat"))
         )
+        self.skipped: list[str] = []
 
     def __iter__(self):
+        import logging
+
         for p in self.paths:
-            if p.endswith(".mat"):
-                yield data.load_adelaide_mat(p)
-            else:
-                yield data.load_correspondences_txt(p)
+            try:
+                if p.endswith(".mat"):
+                    cs = data.load_adelaide_mat(p)
+                else:
+                    cs = data.load_correspondences_txt(p)
+                if cs.n_points < 8 or not np.isfinite(cs.x1).all() \
+                        or not np.isfinite(cs.x2).all():
+                    raise ValueError("too few points or non-finite values")
+            except Exception as e:  # noqa: BLE001 — stream must survive
+                self.skipped.append(p)
+                logging.getLogger(__name__).warning(
+                    "skipping malformed frame %s: %s", p, e
+                )
+                continue
+            yield cs
 
 
 @dataclasses.dataclass

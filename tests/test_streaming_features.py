@@ -109,3 +109,14 @@ class TestDirectoryStream:
         assert len(frames) == 3
         assert frames[0].n_points == 50
         assert frames[0].gt_labels is not None
+
+    def test_skips_malformed_frames(self, tmp_path):
+        cs, _ = data.synthetic_scene(50, 1, 0.0, 0.0, seed=1)
+        data.save_correspondences_txt(str(tmp_path / "a.txt"), cs)
+        (tmp_path / "b.txt").write_text("garbage not numbers\n1 2\n")
+        (tmp_path / "c.txt").write_text("1 2 3 nan\n" * 20)
+        data.save_correspondences_txt(str(tmp_path / "d.txt"), cs)
+        st = streaming.DirectoryStream(str(tmp_path))
+        frames = list(st)
+        assert len(frames) == 2
+        assert len(st.skipped) == 2
