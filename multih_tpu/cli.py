@@ -55,6 +55,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--residual", default="symmetric",
                    choices=["symmetric", "transfer", "sampson"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--restarts", type=int, default=1,
+                   help="fit this many times with different seeds and keep "
+                        "the lowest-energy result")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
     p.add_argument("--json", action="store_true",
@@ -116,6 +119,11 @@ def _fit_one(cs, args):
     res = f(x1, x2, valid, key)
     jax.block_until_ready(res.labels)
     t_warm = time.perf_counter() - t0
+    # optional restarts: keep the lowest-energy result
+    for r in range(1, max(args.restarts, 1)):
+        cand = f(x1, x2, valid, jax.random.key(args.seed + 7919 * r))
+        if float(np.asarray(cand.energy)) < float(np.asarray(res.energy)):
+            res = cand
 
     labels = np.asarray(res.labels)[: cs.n_points]
     active = np.asarray(res.active)

@@ -372,8 +372,15 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
         jnp.where((gain[worst] > 0) & prune_on, 0.0, active[worst])
     )
 
-    # drop tiny planes outright
-    active = active * (support >= cfg.min_inliers).astype(active.dtype)
+    # drop tiny planes outright — but only once the growth phase is over
+    # (same gating as the label cost: deactivation is permanent here, and
+    # a real plane's membership can be temporarily tiny while its H is
+    # still converging; duplicates with zero members are the merge step's
+    # job, not this one's)
+    keep_small = jnp.logical_not(prune_on)
+    active = active * (
+        (support >= cfg.min_inliers) | keep_small
+    ).astype(active.dtype)
 
     energy = labeling.total_energy(
         labels, dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.label_cost,
