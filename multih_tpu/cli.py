@@ -178,6 +178,69 @@ def cmd_fit(args):
     _fit_one(cs, args)
 
 
+def cmd_fit_images(args):
+    """Raw image pair -> SIFT matching (reference C3) -> fit, optionally
+    feeding the matches' affine frames into the paper's one-point
+    hypothesis path."""
+    import cv2
+    import numpy as np
+
+    from multih_tpu.utils import features
+
+    img1 = cv2.imread(args.image1, cv2.IMREAD_GRAYSCALE)
+    img2 = cv2.imread(args.image2, cv2.IMREAD_GRAYSCALE)
+    if img1 is None or img2 is None:
+        print("could not read input images", file=sys.stderr)
+        sys.exit(1)
+    cs, affines = features.detect_and_match(
+        img1, img2, max_features=args.max_features, ratio=args.ratio
+    )
+    if cs.n_points < 8:
+        print(f"only {cs.n_points} matches — not enough", file=sys.stderr)
+        sys.exit(1)
+    print(f"matched {cs.n_points} correspondences", file=sys.stderr)
+
+    if args.use_affines:
+        import functools
+
+        args.n_points_hint = cs.n_points
+        cfg = _build_config(args)
+        jax = _setup_jax(args.platform)
+        import jax.numpy as jnp
+
+        import multih_tpu
+        from multih_tpu.models import pipeline
+
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, cfg.max_points
+        )
+        aff = np.tile(np.eye(2, dtype=np.float32),
+                      (cfg.max_points, 1, 1))
+        aff[: cs.n_points] = affines
+        f = jax.jit(functools.partial(pipeline.fit, cfg=cfg))
+        res = f(x1, x2, valid, jax.random.key(args.seed),
+                affines=jnp.asarray(aff))
+        active = np.asarray(res.active)
+        labels = np.asarray(res.labels)[: cs.n_points]
+        out = {
+            "name": f"{args.image1}|{args.image2}",
+            "n_points": cs.n_points,
+            "n_planes_found": int(active.sum()),
+            "support": np.asarray(res.support)[active > 0].tolist(),
+        }
+        print(json.dumps(out) if args.json else
+              "\n".join(f"{k}: {v}" for k, v in out.items()))
+        if args.save_labels:
+            np.savetxt(args.save_labels, labels, fmt="%d")
+        if args.save_viz:
+            from multih_tpu.utils import viz
+
+            viz.save_labels_figure(args.save_viz, cs.x1, cs.x2, labels,
+                                   cfg.max_labels, img1, img2)
+    else:
+        _fit_one(cs, args)
+
+
 def cmd_synth(args):
     from multih_tpu.utils import data
 
@@ -246,6 +309,19 @@ def main(argv=None):
     p_fit.add_argument("input", help=".mat (AdelaideRMF) or text x y x' y'")
     _add_common(p_fit)
     p_fit.set_defaults(fn=cmd_fit)
+
+    p_im = sub.add_parser(
+        "fit-images",
+        help="detect+match SIFT features on an image pair, then fit",
+    )
+    p_im.add_argument("image1")
+    p_im.add_argument("image2")
+    p_im.add_argument("--max-features", type=int, default=4000)
+    p_im.add_argument("--ratio", type=float, default=0.8)
+    p_im.add_argument("--use-affines", action="store_true",
+                      help="add affine+F one-point hypotheses (paper path)")
+    _add_common(p_im)
+    p_im.set_defaults(fn=cmd_fit_images)
 
     p_sy = sub.add_parser("synth", help="fit a synthetic scene")
     p_sy.add_argument("--points", type=int, default=500)

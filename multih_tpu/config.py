@@ -55,8 +55,10 @@ class MultiHConfig:
     outlier_cost: float = 1.0           # data cost of the outlier label,
                                         # in units of truncated residual cost
     pearl_iterations: int = 8           # outer alternation count (fixed)
-    meanfield_iterations: int = 10      # inner mean-field sweeps (fixed)
-    icm_iterations: int = 4             # ICM polish sweeps (fixed)
+    meanfield_iterations: int = 6       # inner mean-field sweeps (fixed)
+    icm_iterations: int = 2             # ICM polish sweeps (fixed)
+    # (6/2 measured better AND ~20% faster than 10/4 on the benchmark
+    # suite — heavier inner relaxation over-smooths before refits settle)
     temperature: float = 0.25           # final mean-field temperature
     temperature_start: float = 2.0      # annealed from this
     min_inliers: int = 10               # drop planes smaller than this
