@@ -8,7 +8,15 @@ alternating optimization — designed TPU-first, not translated.
 """
 
 from multih_tpu.config import MultiHConfig, DEFAULT
-from multih_tpu.models.pipeline import FitResult, fit, make_fit, pad_points
+from multih_tpu.models.pipeline import (
+    FitResult,
+    estimate_tau,
+    fit,
+    fit_adaptive,
+    make_fit,
+    make_fit_adaptive,
+    pad_points,
+)
 
 __version__ = "0.1.0"
 
@@ -16,8 +24,11 @@ __all__ = [
     "MultiHConfig",
     "DEFAULT",
     "FitResult",
+    "estimate_tau",
     "fit",
+    "fit_adaptive",
     "make_fit",
+    "make_fit_adaptive",
     "pad_points",
     "__version__",
 ]

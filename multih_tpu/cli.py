@@ -58,6 +58,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--restarts", type=int, default=1,
                    help="fit this many times with different seeds and keep "
                         "the lowest-energy result")
+    p.add_argument("--adaptive-tau", action="store_true",
+                   help="self-calibrate the inlier threshold from a probe "
+                        "pass (overrides --threshold)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
     p.add_argument("--json", action="store_true",
@@ -108,7 +111,13 @@ def _fit_one(cs, args):
         )
         gt = None
 
-    f = multih_tpu.make_fit(cfg)
+    if getattr(args, "adaptive_tau", False):
+        f_ad = multih_tpu.make_fit_adaptive(cfg)
+
+        def f(x1_, x2_, v_, k_):
+            return f_ad(x1_, x2_, v_, k_)[0]
+    else:
+        f = multih_tpu.make_fit(cfg)
     key = jax.random.key(args.seed)
     t0 = time.perf_counter()
     res = f(x1, x2, valid, key)

@@ -63,6 +63,17 @@ def pad_points(x1, x2, gt_labels=None, max_points: int = 512):
     return out
 
 
+def _thr(cfg: MultiHConfig, tau=None, dtype=jnp.float32):
+    """Squared inlier threshold. `tau` may be a *traced* scalar (px): the
+    threshold only ever feeds comparisons and weights, so a per-call tau
+    needs no recompilation — the basis for auto-tau and no-recompile
+    threshold sweeps."""
+    if tau is None:
+        return jnp.asarray(cfg.inlier_threshold**2, dtype)
+    t = jnp.asarray(tau, dtype)
+    return t * t
+
+
 # ---------------------------------------------------------------------------
 # stages
 # ---------------------------------------------------------------------------
@@ -87,7 +98,8 @@ def _sample_and_solve(key, x1, x2, avail, nbr_idx, nbr_ok, n_samples):
     return Hs, ok
 
 
-def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
+def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
+                        tau=None):
     """C5 + C7 seeding: threefry-sampled minimal 4-pt DLT solves, fully
     vmapped, in `cfg.progressive_rounds` progressive guided rounds.
 
@@ -103,7 +115,7 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
     rounds = max(1, cfg.progressive_rounds)
     s_round = cfg.n_hypotheses // rounds
     s_rem = cfg.n_hypotheses - s_round * (rounds - 1)
-    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    thr = _thr(cfg, tau, x1.dtype)
 
     claimed = jnp.zeros_like(valid)
     pools, oks = [], []
@@ -125,10 +137,10 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig):
             break
         # claim: LO-grow the round's best hypothesis (by inliers among
         # unclaimed points), then mark its tau-inliers claimed
-        counts_av = count_inliers(Hs_r, x1, x2, avail, cfg) * ok_r
+        counts_av = count_inliers(Hs_r, x1, x2, avail, cfg, tau) * ok_r
         best = jnp.argmax(counts_av)
         H_best = lo_refine_candidates(
-            Hs_r[best][None], x1, x2, valid, cfg, cfg.lo_rounds
+            Hs_r[best][None], x1, x2, valid, cfg, cfg.lo_rounds, tau
         )[0]
         r_best = geometry.residual_matrix(H_best[None], x1, x2, cfg.residual)[0]
         newly = (r_best < thr).astype(x1.dtype) * valid
@@ -149,7 +161,7 @@ def _pallas_enabled(cfg: MultiHConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
-def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig):
+def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
     """C6 over the full pool without materializing (S, N).
 
     TPU: one Pallas launch — a 2-D (hyp, point) grid with on-chip count
@@ -158,7 +170,7 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig):
     Only meaningful for the 'symmetric' residual kernel; other residual
     kinds always take the jnp path.
     """
-    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    thr = _thr(cfg, tau, x1.dtype)
     if _pallas_enabled(cfg) and cfg.residual == "symmetric":
         from multih_tpu.ops.kernels import residual_kernel
 
@@ -185,7 +197,8 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig):
 count_inliers_chunked = count_inliers
 
 
-def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig):
+def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
+                 tau=None):
     """C12: re-estimate every plane's H from its currently assigned points,
     all planes in one batched weighted DLT.
 
@@ -198,7 +211,7 @@ def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig):
     Planes with too few members keep their previous H.
     """
     k = cfg.max_labels
-    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    thr = _thr(cfg, tau, x1.dtype)
     member = (
         jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k] * valid[:, None]
     )  # (N, K)
@@ -256,7 +269,8 @@ def merge_duplicate_planes(r, support, active, thr, merge_iou: float):
     return jax.lax.fori_loop(0, k, body, active)
 
 
-def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int):
+def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int,
+                         tau=None):
     """LO-RANSAC-style candidate growth (reference C12 as used inside C7):
     minimal-sample hypotheses — especially the locality-biased ones — are
     only accurate near their sample; refitting each candidate on its own
@@ -268,7 +282,7 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int):
     local bias, later rounds sharpen. All candidates refit in one batched
     weighted DLT per round; a keep-if-better guard (at the final tau) makes
     the sequence monotone in true inlier count."""
-    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    thr = _thr(cfg, tau, x1.dtype)
 
     def count(r):
         return jnp.sum((r < thr) * valid[None, :], axis=1)
@@ -301,7 +315,7 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int):
 
 
 def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
-                     cfg: MultiHConfig):
+                     cfg: MultiHConfig, tau=None):
     """One PEARL alternation (SURVEY.md §3.1 inner loop):
     residuals -> data costs -> mean-field+ICM labeling -> refit -> accept
     -> merge duplicates -> label-cost prune.
@@ -311,7 +325,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     (unlike gco, which keeps pruned labels in the candidate set), so
     planes must be given time to grow to their full support first."""
     Hs, active, q = carry
-    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    thr = _thr(cfg, tau, x1.dtype)
     k = cfg.max_labels
 
     r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)  # (K, N)
@@ -332,7 +346,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     )
 
     # refit on assignments; accept per-plane only if inliers don't shrink
-    Hs_new, support = refit_planes(Hs, labels, r, x1, x2, valid, cfg)
+    Hs_new, support = refit_planes(Hs, labels, r, x1, x2, valid, cfg, tau)
     r_new = geometry.residual_matrix(Hs_new, x1, x2, cfg.residual)
     in_old = jnp.sum((r < thr) * valid[None, :], axis=1)
     in_new = jnp.sum((r_new < thr) * valid[None, :], axis=1)
@@ -390,7 +404,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
 
 
 def fit(x1, x2, valid, key, cfg: MultiHConfig,
-        affines=None) -> FitResult:
+        affines=None, tau=None) -> FitResult:
     """Full Multi-H fit on one (padded) correspondence set.
 
     Args:
@@ -403,9 +417,11 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         one-point hypothesis path is added to the pool: F is estimated from
         all correspondences and one homography per point is derived from
         (F, p1, p2, A) — Multi-H paper §3.1, reference C4+C5.
+      tau: optional *traced* inlier threshold in px, overriding
+        cfg.inlier_threshold without recompilation (see estimate_tau).
     """
     k = cfg.max_labels
-    thr = jnp.asarray(cfg.inlier_threshold**2, x1.dtype)
+    thr = _thr(cfg, tau, x1.dtype)
 
     # C8: spatial neighborhood (also feeds localized sampling)
     with jax.named_scope("knn_graph"):
@@ -414,7 +430,8 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # C5: hypothesis pool
     key, k_gen, k_f = jax.random.split(key, 3)
     with jax.named_scope("hypothesize"):
-        Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_idx, cfg)
+        Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_idx, cfg,
+                                     tau)
     if affines is not None:
         from multih_tpu.ops import epipolar
 
@@ -431,11 +448,11 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     # C6 + C7: verification sweep, LO growth, candidate selection
     with jax.named_scope("verify"):
-        counts = count_inliers(Hs_all, x1, x2, valid, cfg) * ok
+        counts = count_inliers(Hs_all, x1, x2, valid, cfg, tau) * ok
         top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
     with jax.named_scope("lo_refine"):
         Hs_top = lo_refine_candidates(
-            Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds
+            Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds, tau
         )
     with jax.named_scope("select"):
         r_top = geometry.residual_matrix(Hs_top, x1, x2, cfg.residual)
@@ -459,7 +476,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     def step(carry, xs):
         return _pearl_iteration(
-            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg
+            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg, tau
         )
 
     with jax.named_scope("pearl"):
@@ -495,6 +512,56 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     )
 
 
+def estimate_tau(res: FitResult, x1, x2, valid, cfg: MultiHConfig,
+                 floor: float = 3.0, cap: float = 12.0):
+    """Noise-adaptive inlier threshold from a previous fit.
+
+    The median squared symmetric-transfer residual of plane members is
+    5.85 * sigma^2 across noise levels (measured on synthetic scenes, the
+    factor is scale-free), and the working threshold rule is tau = 6 sigma
+    (docs/USAGE.md) — so tau = sqrt(36/5.85 * median). Members of inactive
+    planes and padded points are excluded; with no members the config's
+    static tau is returned.
+    """
+    k = cfg.max_labels
+    r = geometry.residual_matrix(res.homographies, x1, x2, cfg.residual)
+    lab = res.labels
+    is_member = (lab < k) & (valid > 0)
+    r_own = jnp.take_along_axis(
+        r.T, jnp.clip(lab, 0, k - 1)[:, None], axis=1
+    )[:, 0]
+    vals = jnp.where(is_member, r_own, jnp.inf)
+    n_m = jnp.sum(is_member.astype(jnp.int32))
+    med = jnp.sort(vals)[jnp.maximum(n_m // 2, 0)]
+    tau = jnp.sqrt(36.0 / 5.85 * jnp.maximum(med, 1e-6))
+    tau = jnp.clip(tau, floor, cap)
+    return jnp.where(n_m >= cfg.min_inliers, tau,
+                     jnp.asarray(cfg.inlier_threshold, x1.dtype))
+
+
+def fit_adaptive(x1, x2, valid, key, cfg: MultiHConfig,
+                 probe_tau: float = 8.0):
+    """Two-pass fit with a self-calibrated inlier threshold: a probe pass
+    at a generous tau estimates the correspondence noise from the plane
+    members' residuals, then the real fit runs at tau = 6 sigma. Both
+    passes live in one XLA program (tau is traced — no recompile). Returns
+    (FitResult, tau)."""
+    k_probe, k_fit = jax.random.split(key)
+    res0 = fit(x1, x2, valid, k_probe, cfg,
+               tau=jnp.asarray(probe_tau, x1.dtype))
+    tau = estimate_tau(res0, x1, x2, valid, cfg)
+    return fit(x1, x2, valid, k_fit, cfg, tau=tau), tau
+
+
 def make_fit(cfg: MultiHConfig):
     """jit-compiled fit with cfg baked in as a static constant."""
     return jax.jit(lambda x1, x2, valid, key: fit(x1, x2, valid, key, cfg))
+
+
+def make_fit_adaptive(cfg: MultiHConfig, probe_tau: float = 8.0):
+    """jit-compiled two-pass adaptive-threshold fit."""
+    return jax.jit(
+        lambda x1, x2, valid, key: fit_adaptive(
+            x1, x2, valid, key, cfg, probe_tau
+        )
+    )

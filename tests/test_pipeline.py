@@ -159,3 +159,34 @@ class TestAffinePath:
         )
         assert int(np.asarray(res.active).sum()) == 2
         assert err < 3.0, err
+
+
+class TestAdaptiveTau:
+    def test_recovers_from_wrong_static_tau(self):
+        """Auto-tau (fit_adaptive): a probe pass estimates the noise from
+        plane-member residuals; the noise-1px scene is unsolvable at the
+        default tau=3 but solves at the estimated tau~6."""
+        cfg = multih_tpu.MultiHConfig(max_points=512, n_hypotheses=2048)
+        cs, _ = data.synthetic_scene(400, 3, 0.15, 1.0, seed=117)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, 512
+        )
+        f = multih_tpu.make_fit_adaptive(cfg)
+        res, tau = f(x1, x2, valid, jax.random.key(0))
+        assert 4.5 < float(tau) < 7.5, float(tau)
+        err = evaluation.misclassification_error(
+            np.asarray(res.labels), gt, cfg.max_labels
+        )
+        assert err < 3.0, err
+        assert int(np.asarray(res.active).sum()) == 3
+
+    def test_estimate_matches_noise_floor(self):
+        """Low-noise scenes hit the 3 px floor."""
+        cfg = multih_tpu.MultiHConfig(max_points=256, n_hypotheses=1024)
+        cs, _ = data.synthetic_scene(200, 2, 0.05, 0.2, seed=9)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, 256
+        )
+        f = multih_tpu.make_fit_adaptive(cfg)
+        res, tau = f(x1, x2, valid, jax.random.key(0))
+        assert abs(float(tau) - 3.0) < 0.5, float(tau)
