@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--hypotheses", type=int, default=2048)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="use fit_adaptive (auto-tau) instead of the "
+                         "per-scene noise-derived threshold")
     ap.add_argument("--goldens", default=os.path.join(
         os.path.dirname(__file__), "..", "tests", "goldens"))
     args = ap.parse_args()
@@ -45,7 +48,13 @@ def main():
         x1, x2, valid, gt = multih_tpu.pad_points(
             cs.x1, cs.x2, cs.gt_labels, cfg.max_points
         )
-        f = multih_tpu.make_fit(cfg)
+        if args.adaptive:
+            fa = multih_tpu.make_fit_adaptive(cfg)
+
+            def f(*a):
+                return fa(*a)[0]
+        else:
+            f = multih_tpu.make_fit(cfg)
         key = jax.random.key(0)
         res = f(x1, x2, valid, key)
         jax.block_until_ready(res.labels)
