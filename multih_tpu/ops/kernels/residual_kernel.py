@@ -40,14 +40,19 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref):
 
     h = [h_ref[:, k:k + 1] for k in range(9)]  # (TH, 1) each
 
-    def safe_w(w):
+    def safe_rcp(w):
+        # sign-preserving clamped approximate reciprocal: full-precision
+        # division is the VPU bottleneck of this kernel, and the ~2^-14
+        # relative error of the fast reciprocal only moves exact-boundary
+        # inlier ties (the jnp reference path differs by the same order)
         s = jnp.where(w < 0, -1.0, 1.0)
-        return s * jnp.maximum(jnp.abs(w), _EPS)
+        w_safe = s * jnp.maximum(jnp.abs(w), _EPS)
+        return pl.reciprocal(w_safe, approx=True)
 
     # forward transfer ||pi(H x1) - x2||^2
-    wf = safe_w(h[6] * x + h[7] * y + h[8])
-    uf = (h[0] * x + h[1] * y + h[2]) / wf - u
-    vf = (h[3] * x + h[4] * y + h[5]) / wf - v
+    rf = safe_rcp(h[6] * x + h[7] * y + h[8])
+    uf = (h[0] * x + h[1] * y + h[2]) * rf - u
+    vf = (h[3] * x + h[4] * y + h[5]) * rf - v
     err = uf * uf + vf * vf
 
     # backward via adjugate (scale-free inverse), entries are (TH, 1)
@@ -60,9 +65,9 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref):
     a6 = h[3] * h[7] - h[4] * h[6]
     a7 = h[1] * h[6] - h[0] * h[7]
     a8 = h[0] * h[4] - h[1] * h[3]
-    wb = safe_w(a6 * u + a7 * v + a8)
-    ub = (a0 * u + a1 * v + a2) / wb - x
-    vb = (a3 * u + a4 * v + a5) / wb - y
+    rb = safe_rcp(a6 * u + a7 * v + a8)
+    ub = (a0 * u + a1 * v + a2) * rb - x
+    vb = (a3 * u + a4 * v + a5) * rb - y
     err = err + ub * ub + vb * vb
 
     inlier = jnp.where(
