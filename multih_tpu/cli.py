@@ -111,26 +111,41 @@ def _fit_one(cs, args):
         )
         gt = None
 
-    if getattr(args, "adaptive_tau", False):
+    adaptive = getattr(args, "adaptive_tau", False)
+    if adaptive:
         f_ad = multih_tpu.make_fit_adaptive(cfg)
 
         def f(x1_, x2_, v_, k_):
-            return f_ad(x1_, x2_, v_, k_)[0]
+            return f_ad(x1_, x2_, v_, k_)
     else:
-        f = multih_tpu.make_fit(cfg)
+        f_fix = multih_tpu.make_fit(cfg)
+
+        def f(x1_, x2_, v_, k_):
+            return f_fix(x1_, x2_, v_, k_), None
     key = jax.random.key(args.seed)
     t0 = time.perf_counter()
-    res = f(x1, x2, valid, key)
+    res, tau = f(x1, x2, valid, key)
     jax.block_until_ready(res.labels)
     t_total = time.perf_counter() - t0
-    # steady-state latency (compiled)
+    # steady-state latency (compiled); fresh key — the dev tunnel memoizes
+    # repeated identical (executable, inputs) calls, which would fake this
     t0 = time.perf_counter()
-    res = f(x1, x2, valid, key)
+    res, tau = f(x1, x2, valid, jax.random.key(args.seed + 1))
     jax.block_until_ready(res.labels)
     t_warm = time.perf_counter() - t0
-    # optional restarts: keep the lowest-energy result
+    # optional restarts: keep the lowest-energy result. Under adaptive tau
+    # the calibrated threshold from the timed run is frozen for every
+    # restart — each pass re-calibrating its own tau would make the
+    # energies incomparable (different data-cost scales).
+    if args.restarts > 1 and adaptive:
+        f_restart = multih_tpu.make_fit_tau(cfg)
+    else:
+        def f_restart(x1_, x2_, v_, k_, _tau):
+            return f(x1_, x2_, v_, k_)[0]
     for r in range(1, max(args.restarts, 1)):
-        cand = f(x1, x2, valid, jax.random.key(args.seed + 7919 * r))
+        cand = f_restart(
+            x1, x2, valid, jax.random.key(args.seed + 7919 * r), tau
+        )
         if float(np.asarray(cand.energy)) < float(np.asarray(res.energy)):
             res = cand
 

@@ -82,6 +82,13 @@ class MultiHConfig:
     use_pallas: bool = True             # route hot ops through Pallas
                                         # kernels (effective on TPU backend;
                                         # CPU always uses the jnp reference)
+    pallas_approx_rcp: bool = True      # fast hardware reciprocal in the
+                                        # verification kernel (+6% end to
+                                        # end); its ~2^-14 relative error
+                                        # can flip threshold-boundary ties,
+                                        # so counts may differ from the jnp
+                                        # path by ~+-2 per hypothesis. False
+                                        # = exact division (parity debug).
     residual_chunk: int = 512           # hypothesis-axis tile for the
                                         # residual sweep (bounds memory)
 

@@ -199,8 +199,11 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
     TPU: one Pallas launch — a 2-D (hyp, point) grid with on-chip count
     accumulation (kernels/residual_kernel.py). Elsewhere: scan hypothesis
     chunks with the jnp reference residual, reducing each immediately.
-    Only meaningful for the 'symmetric' residual kernel; other residual
-    kinds always take the jnp path.
+    The kernel implements only the 'symmetric' residual; 'transfer' and
+    'sampson' take the chunked jnp path on every backend (slower on TPU at
+    stress scale — the (S, N) sweep streams through HBM in chunks instead
+    of staying on-chip). With cfg.pallas_approx_rcp (default), kernel
+    counts may differ from the jnp path by ~+-2 threshold-boundary ties.
     """
     thr = _thr(cfg, tau, x1.dtype)
     if _pallas_enabled(cfg) and cfg.residual == "symmetric":
@@ -209,6 +212,7 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
         return residual_kernel.inlier_counts_padded(
             Hs, x1, x2, valid, thr,
             hyp_tile=256, pt_tile=min(2048, max(512, x1.shape[0])),
+            approx_rcp=cfg.pallas_approx_rcp,
         )
     s = Hs.shape[0]
     chunk = min(cfg.residual_chunk, s)
@@ -601,6 +605,15 @@ def fit_adaptive(x1, x2, valid, key, cfg: MultiHConfig,
 def make_fit(cfg: MultiHConfig):
     """jit-compiled fit with cfg baked in as a static constant."""
     return jax.jit(lambda x1, x2, valid, key: fit(x1, x2, valid, key, cfg))
+
+
+def make_fit_tau(cfg: MultiHConfig):
+    """jit-compiled fit taking the inlier threshold (px) as a *traced*
+    argument — one compiled executable serves any tau (threshold sweeps,
+    restarts under a frozen auto-calibrated tau, ...)."""
+    return jax.jit(
+        lambda x1, x2, valid, key, tau: fit(x1, x2, valid, key, cfg, tau=tau)
+    )
 
 
 def make_fit_adaptive(cfg: MultiHConfig, probe_tau: float = 8.0):

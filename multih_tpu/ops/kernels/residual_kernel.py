@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-12
 
 
-def _count_kernel(h_ref, pts_ref, thr_ref, out_ref):
+def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool):
     j = pl.program_id(1)
 
     x = pts_ref[0:1, :]
@@ -41,13 +41,17 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref):
     h = [h_ref[:, k:k + 1] for k in range(9)]  # (TH, 1) each
 
     def safe_rcp(w):
-        # sign-preserving clamped approximate reciprocal: full-precision
-        # division is the VPU bottleneck of this kernel, and the ~2^-14
-        # relative error of the fast reciprocal only moves exact-boundary
-        # inlier ties (the jnp reference path differs by the same order)
+        # sign-preserving clamped reciprocal. With approx_rcp, full-precision
+        # division (the VPU bottleneck of this kernel, +6% end to end) is
+        # replaced by the hardware fast reciprocal; its ~2^-14 relative
+        # error can move hypotheses whose error sits exactly at the
+        # threshold, so per-hypothesis counts may differ from the jnp
+        # reference path by a couple of boundary ties (tests allow +-2).
+        # approx_rcp=False restores bit-comparable division for parity
+        # debugging (cfg.pallas_approx_rcp).
         s = jnp.where(w < 0, -1.0, 1.0)
         w_safe = s * jnp.maximum(jnp.abs(w), _EPS)
-        return pl.reciprocal(w_safe, approx=True)
+        return pl.reciprocal(w_safe, approx=approx_rcp)
 
     # forward transfer ||pi(H x1) - x2||^2
     rf = safe_rcp(h[6] * x + h[7] * y + h[8])
@@ -94,7 +98,7 @@ def pack_points(x1, x2, valid):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hyp_tile", "pt_tile", "interpret")
+    jax.jit, static_argnames=("hyp_tile", "pt_tile", "interpret", "approx_rcp")
 )
 def inlier_counts(
     Hs: jax.Array,
@@ -103,6 +107,7 @@ def inlier_counts(
     hyp_tile: int = 128,
     pt_tile: int = 1024,
     interpret: bool = False,
+    approx_rcp: bool = True,
 ) -> jax.Array:
     """Per-hypothesis inlier counts (symmetric transfer error < threshold).
 
@@ -122,7 +127,7 @@ def inlier_counts(
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1, 1)
 
     out = pl.pallas_call(
-        _count_kernel,
+        functools.partial(_count_kernel, approx_rcp=approx_rcp),
         grid=(s // hyp_tile, n // pt_tile),
         in_specs=[
             pl.BlockSpec(
@@ -148,7 +153,7 @@ def inlier_counts(
 
 def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
                          hyp_tile: int = 128, pt_tile: int = 1024,
-                         interpret: bool = False):
+                         interpret: bool = False, approx_rcp: bool = True):
     """Convenience wrapper: pads S and N to tile multiples, packs points,
     returns (S,) counts for the original hypotheses."""
     s = Hs.shape[0]
@@ -167,6 +172,6 @@ def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
     packed = pack_points(x1, x2, valid)
     counts = inlier_counts(
         Hs, packed, threshold_sq, hyp_tile=hyp_tile, pt_tile=pt_tile,
-        interpret=interpret,
+        interpret=interpret, approx_rcp=approx_rcp,
     )
     return counts[:s]

@@ -149,6 +149,7 @@ def run_stream(
     benchmark the tunnel, not the framework.
     """
     import collections
+    import logging
 
     import jax
 
@@ -161,6 +162,15 @@ def run_stream(
     # preload all frames to the device
     dev_frames = []
     for cs in stream:
+        if cs.n_points > cfg.max_points:
+            # same resilience contract as DirectoryStream: an oversized
+            # frame must not kill the stream (the compiled executable has a
+            # static point budget) — skip it with a warning
+            logging.getLogger(__name__).warning(
+                "skipping frame %s: %d points > max_points=%d",
+                cs.name, cs.n_points, cfg.max_points,
+            )
+            continue
         x1, x2, valid = multih_tpu.pad_points(
             cs.x1, cs.x2, None, cfg.max_points
         )

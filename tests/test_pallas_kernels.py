@@ -74,3 +74,22 @@ class TestInlierCountKernel:
             hyp_tile=64, pt_tile=512, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(got), 0.0)
+
+    def test_exact_reciprocal_bit_parity(self, rng):
+        """approx_rcp=False restores full-precision division: counts match
+        the jnp reference exactly (no boundary-tie tolerance)."""
+        s, n = 128, 1024
+        Hs = jnp.asarray(random_hs(rng, s))
+        x1 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        valid = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))
+        thr = jnp.asarray(2500.0, jnp.float32)
+        ref = jnp.sum(
+            (geometry.residual_matrix(Hs, x1, x2, "symmetric") < thr)
+            * valid[None, :],
+            axis=1,
+        )
+        got = residual_kernel.inlier_counts_padded(
+            Hs, x1, x2, valid, thr, interpret=True, approx_rcp=False
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -190,3 +190,22 @@ class TestAdaptiveTau:
         f = multih_tpu.make_fit_adaptive(cfg)
         res, tau = f(x1, x2, valid, jax.random.key(0))
         assert abs(float(tau) - 3.0) < 0.5, float(tau)
+
+
+class TestFitTau:
+    def test_traced_tau_matches_static_threshold(self, small_cfg):
+        """make_fit_tau with tau == cfg.inlier_threshold reproduces the
+        static-threshold fit exactly — one executable serves any tau
+        (restarts under a frozen auto-calibrated tau, threshold sweeps)."""
+        cs, _ = data.synthetic_scene(400, 2, 0.1, 0.5, seed=11)
+        x1, x2, valid, _ = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, small_cfg.max_points
+        )
+        key = jax.random.key(5)
+        res_static = multih_tpu.make_fit(small_cfg)(x1, x2, valid, key)
+        res_traced = multih_tpu.make_fit_tau(small_cfg)(
+            x1, x2, valid, key, jnp.asarray(small_cfg.inlier_threshold)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_static.labels), np.asarray(res_traced.labels)
+        )

@@ -120,3 +120,19 @@ class TestDirectoryStream:
         frames = list(st)
         assert len(frames) == 2
         assert len(st.skipped) == 2
+
+
+class TestStreamResilience:
+    def test_run_stream_skips_oversized_frames(self):
+        """A frame exceeding the compiled executable's static point budget
+        must be skipped (with a warning), not kill the stream — the same
+        contract DirectoryStream documents for malformed frames."""
+        cfg = multih_tpu.MultiHConfig(
+            max_points=64, n_hypotheses=128, n_candidates=32, max_labels=4,
+            label_cost=2.0, min_inliers=6,
+        )
+        small, _ = data.synthetic_scene(48, 1, 0.0, 0.3, seed=3)
+        big, _ = data.synthetic_scene(200, 1, 0.0, 0.3, seed=4)
+        frames = [small, big, small._replace(name="again")]
+        stats = streaming.run_stream(frames, cfg, pipeline_depth=1)
+        assert stats.frames == 2  # the 200-point frame was skipped

@@ -39,7 +39,11 @@ def main():
         labels, Hs, active = rp.pearl_fit(
             cs.x1.astype(np.float64), cs.x2.astype(np.float64), p
         )
-        outlier = len(Hs) if len(Hs) else 1
+        # pearl_fit labels outliers with index len(Hs) — including the
+        # no-plane case, where every point carries label 0 == len(Hs); any
+        # other choice here would score those points as members of a
+        # nonexistent plane
+        outlier = len(Hs)
         err = evaluation.misclassification_error(
             labels, cs.gt_labels, outlier
         )

@@ -213,7 +213,9 @@ def pearl_fit(x1, x2, p: PearlParams):
         return np.full(n, 0, np.int32), np.zeros((0, 3, 3)), []
 
     active = list(range(k))
-    labels = np.full(n, k, np.int32)  # outlier = index k
+    # outlier = index k == len(Hs), the same convention the k == 0 early
+    # return above uses (labels all 0 with zero planes => all outliers)
+    labels = np.full(n, k, np.int32)
     for it in range(p.pearl_iterations):
         if not active:
             break
