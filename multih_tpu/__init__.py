@@ -15,6 +15,7 @@ from multih_tpu.models.pipeline import (
     fit_adaptive,
     make_fit,
     make_fit_adaptive,
+    make_fit_seeded,
     make_fit_tau,
     pad_points,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "fit_adaptive",
     "make_fit",
     "make_fit_adaptive",
+    "make_fit_seeded",
     "make_fit_tau",
     "pad_points",
     "__version__",

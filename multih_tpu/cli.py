@@ -308,6 +308,7 @@ def cmd_stream(args):
     stats = streaming.run_stream(
         src, cfg, budget_ms=args.budget_ms,
         pipeline_depth=args.pipeline_depth,
+        warm_start=not args.no_warm_start,
     )
     out = {
         "frames": stats.frames,
@@ -371,6 +372,9 @@ def main(argv=None):
     p_st.add_argument("--frames", type=int, default=60)
     p_st.add_argument("--budget-ms", type=float, default=33.3)
     p_st.add_argument("--pipeline-depth", type=int, default=3)
+    p_st.add_argument("--no-warm-start", action="store_true",
+                      help="disable seeding each frame's candidate pool "
+                           "with the previous frame's planes")
     _add_common(p_st)
     p_st.set_defaults(fn=cmd_stream)
 

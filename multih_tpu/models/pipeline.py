@@ -440,7 +440,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
 
 
 def fit(x1, x2, valid, key, cfg: MultiHConfig,
-        affines=None, tau=None) -> FitResult:
+        affines=None, tau=None, seed_Hs=None, seed_ok=None) -> FitResult:
     """Full Multi-H fit on one (padded) correspondence set.
 
     Args:
@@ -455,6 +455,15 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         (F, p1, p2, A) — Multi-H paper §3.1, reference C4+C5.
       tau: optional *traced* inlier threshold in px, overriding
         cfg.inlier_threshold without recompilation (see estimate_tau).
+      seed_Hs: optional (M, 3, 3) externally supplied candidate
+        homographies joining the hypothesis pool before verification —
+        the streaming warm start (planes persist across frames, so the
+        previous frame's surviving planes are near-perfect candidates and
+        a small sampled budget suffices to find what changed). Seeds
+        compete on equal terms: verified, LO-grown and NMS'd like any
+        sampled hypothesis, so a stale seed simply loses.
+      seed_ok: optional (M,) float {0,1} seed validity (e.g. the previous
+        fit's `active`); non-finite seeds are masked out regardless.
     """
     k = cfg.max_labels
     thr = _thr(cfg, tau, x1.dtype)
@@ -490,6 +499,14 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         ok = jnp.concatenate(
             [ok, valid * finite.astype(x1.dtype)], axis=0
         )
+
+    if seed_Hs is not None:
+        s_finite = jnp.all(
+            jnp.isfinite(seed_Hs.reshape(seed_Hs.shape[0], -1)), axis=1
+        ).astype(x1.dtype)
+        s_ok = s_finite if seed_ok is None else seed_ok * s_finite
+        Hs_all = jnp.concatenate([Hs_all, seed_Hs], axis=0)
+        ok = jnp.concatenate([ok, s_ok], axis=0)
 
     # C6 + C7: verification sweep, LO growth, candidate selection
     with jax.named_scope("verify"):
@@ -613,6 +630,17 @@ def make_fit_tau(cfg: MultiHConfig):
     restarts under a frozen auto-calibrated tau, ...)."""
     return jax.jit(
         lambda x1, x2, valid, key, tau: fit(x1, x2, valid, key, cfg, tau=tau)
+    )
+
+
+def make_fit_seeded(cfg: MultiHConfig):
+    """jit-compiled fit taking (M, 3, 3) seed homographies + (M,) validity
+    as traced inputs — the streaming warm-start executable. M is static
+    per compilation (use cfg.max_labels: the previous frame's planes)."""
+    return jax.jit(
+        lambda x1, x2, valid, key, seed_Hs, seed_ok: fit(
+            x1, x2, valid, key, cfg, seed_Hs=seed_Hs, seed_ok=seed_ok
+        )
     )
 
 

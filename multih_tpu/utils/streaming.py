@@ -129,8 +129,17 @@ def run_stream(
     budget_ms: float = 33.3,
     seed: int = 0,
     pipeline_depth: int = 3,
+    warm_start: bool = True,
 ) -> StreamStats:
     """Fit every frame with one compiled executable.
+
+    With ``warm_start`` (default), each frame's candidate pool is seeded
+    with the previous frame's surviving homographies (``seed_Hs`` in
+    ``fit``): planes persist across frames, so the sampled hypothesis
+    budget only needs to cover what *changed* — a warm-started stream
+    holds accuracy at a fraction of the cold per-frame budget (see
+    tests/test_streaming_features.py). The seed chain is device-resident
+    and dispatches asynchronously, so pipelining is unaffected.
 
     Frames are dispatched ``pipeline_depth`` ahead of the blocking read —
     JAX dispatch is async, so host->device transfer and device compute of
@@ -156,7 +165,27 @@ def run_stream(
     import multih_tpu
 
     cfg = cfg or MultiHConfig(max_points=512, n_hypotheses=1024)
-    f = multih_tpu.make_fit(cfg)
+    if warm_start:
+        import jax.numpy as jnp
+
+        f_seeded = multih_tpu.make_fit_seeded(cfg)
+        # first frame: identity seeds masked off (ok=0) — same executable
+        seeds0 = jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), (cfg.max_labels, 3, 3)
+        )
+        ok0 = jnp.zeros((cfg.max_labels,), jnp.float32)
+
+        def f(x1_, x2_, v_, k_, prev):
+            if prev is None:
+                return f_seeded(x1_, x2_, v_, k_, seeds0, ok0)
+            return f_seeded(
+                x1_, x2_, v_, k_, prev.homographies, prev.active
+            )
+    else:
+        f_cold = multih_tpu.make_fit(cfg)
+
+        def f(x1_, x2_, v_, k_, prev):
+            return f_cold(x1_, x2_, v_, k_)
     key = jax.random.key(seed)
 
     # preload all frames to the device
@@ -182,26 +211,34 @@ def run_stream(
     jax.block_until_ready(dev_frames[-1])
 
     # compile frame
-    jax.block_until_ready(f(*dev_frames[0], key))
+    jax.block_until_ready(f(*dev_frames[0], key, None))
 
-    # pass 1: blocked per-frame latency
+    # pass 1: blocked per-frame latency, warm-start chained frame to frame
     times = []
+    prev = None
     for d in dev_frames:
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*d, sub))
+        res = f(*d, sub, prev)
+        jax.block_until_ready(res.labels)
         times.append(time.perf_counter() - t0)
+        prev = res
 
     # pass 2: pipelined throughput at the given depth. Different key
     # stream than pass 1 — the dev tunnel memoizes repeated identical
-    # (executable, inputs) calls, which would fake the throughput.
+    # (executable, inputs) calls, which would fake the throughput. The
+    # seed chain adds a frame-to-frame data dependency but no host sync:
+    # dispatch stays asynchronous.
     key = jax.random.key(seed + 104729)
     inflight = collections.deque()
     results = []
+    prev = None
     t0 = time.perf_counter()
     for d in dev_frames:
         key, sub = jax.random.split(key)
-        inflight.append(f(*d, sub))
+        res = f(*d, sub, prev)
+        prev = res
+        inflight.append(res)
         while len(inflight) >= pipeline_depth:
             res = inflight.popleft()
             jax.block_until_ready(res.labels)

@@ -136,3 +136,68 @@ class TestStreamResilience:
         frames = [small, big, small._replace(name="again")]
         stats = streaming.run_stream(frames, cfg, pipeline_depth=1)
         assert stats.frames == 2  # the 200-point frame was skipped
+
+
+class TestWarmStart:
+    """Streaming hypothesis warm-start (BASELINE.json:11): the previous
+    frame's surviving planes seed the next frame's candidate pool, so a
+    small sampled budget holds accuracy that a cold fit at the same budget
+    cannot reach."""
+
+    CFG = multih_tpu.MultiHConfig(
+        max_points=256, n_hypotheses=24, n_candidates=24, max_labels=6,
+        progressive_rounds=2, label_cost=8.0, min_inliers=8,
+    )
+
+    def test_seeds_rescue_tiny_budget(self):
+        """With the true planes as seeds, a 24-hypothesis fit solves a
+        4-plane scene that the cold 24-hypothesis fit cannot (measured:
+        seeded 1.25% vs cold 35-70% over seeds 0-5)."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.CFG
+        cs, Hs_true = data.synthetic_scene(240, 4, 0.3, 0.5, seed=21)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+        )
+        Hn = Hs_true / np.linalg.norm(Hs_true, axis=(1, 2), keepdims=True)
+        seeds = jnp.concatenate([
+            jnp.asarray(Hn),
+            jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (cfg.max_labels - 4, 3, 3)
+            ),
+        ])
+        ok = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+        rc = multih_tpu.make_fit(cfg)(x1, x2, valid, jax.random.key(0))
+        rs = multih_tpu.make_fit_seeded(cfg)(
+            x1, x2, valid, jax.random.key(0), seeds, ok
+        )
+        e_cold = evaluation.misclassification_error(
+            np.asarray(rc.labels), gt, cfg.max_labels
+        )
+        e_seed = evaluation.misclassification_error(
+            np.asarray(rs.labels), gt, cfg.max_labels
+        )
+        assert e_seed < 5.0, e_seed
+        assert e_seed <= e_cold
+        assert int(np.asarray(rs.active).sum()) == 4
+
+    def test_stream_warm_start_beats_cold(self):
+        """On a drifting 4-plane stream at the same tiny budget, the
+        warm-started stream retains more planes than the cold one
+        (measured: 2.0 vs 1.625 mean planes)."""
+        cfg = self.CFG
+
+        def src():
+            return streaming.SyntheticStream(
+                n_frames=8, n_points=240, n_planes=4, outlier_rate=0.3,
+                noise_px=0.5, seed=5, drift=0.02,
+            )
+
+        warm = streaming.run_stream(src(), cfg, pipeline_depth=1,
+                                    warm_start=True)
+        cold = streaming.run_stream(src(), cfg, pipeline_depth=1,
+                                    warm_start=False)
+        assert warm.frames == cold.frames == 8
+        assert warm.mean_planes > cold.mean_planes
