@@ -276,22 +276,70 @@ def cmd_synth(args):
 
 
 def cmd_bench_adelaide(args):
+    """The 19-pair benchmark as ONE batched device call (SURVEY.md §2 P4):
+    all pairs padded into a single bucket, vmapped fit sharded over the
+    mesh's pair axis — one compile, one dispatch, instead of 19 CLI runs
+    with per-bucket recompiles. Per-pair --threshold is replaced by the
+    traced per-pair tau vector (here: one global tau, or --adaptive-tau
+    for per-pair self-calibration)."""
     import numpy as np
 
-    from multih_tpu.utils import data
+    from multih_tpu.utils import data, evaluation
 
     paths = data.adelaide_pairs(args.root)
     if not paths:
         print(f"no AdelaideRMF .mat files found under {args.root}",
               file=sys.stderr)
         sys.exit(1)
+    css = [data.load_adelaide_mat(p) for p in paths]
+    args.n_points_hint = max(cs.n_points for cs in css)
+    cfg = _build_config(args)
+    jax = _setup_jax(args.platform)
+    from multih_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh()
+    adaptive = getattr(args, "adaptive_tau", False)
+    # upload once: per-call host->device transfer dominates wall time on
+    # remotely-attached devices
+    prepared = sharding.prepare_benchmark_batch(css, cfg, mesh)
+    t0 = time.perf_counter()
+    res = sharding.run_benchmark_batch(
+        css, cfg, mesh=mesh, seed=args.seed, adaptive=adaptive,
+        prepared=prepared,
+    )
+    t_total = time.perf_counter() - t0  # includes the single compile
+    t0 = time.perf_counter()
+    res = sharding.run_benchmark_batch(
+        css, cfg, mesh=mesh, seed=args.seed + 1, adaptive=adaptive,
+        prepared=prepared,
+    )
+    t_warm = time.perf_counter() - t0
+
     errs = []
-    for p in paths:
-        cs = data.load_adelaide_mat(p)
-        out = _fit_one(cs, args)
-        errs.append(out.get("misclassification_pct", float("nan")))
-    print(f"mean misclassification over {len(errs)} pairs: "
-          f"{np.nanmean(errs):.2f}%")
+    for i, cs in enumerate(css):
+        row = {
+            "name": cs.name,
+            "n_points": cs.n_points,
+            "n_planes_found": int(res.active[i].sum()),
+        }
+        if cs.gt_labels is not None:
+            labels = res.labels[i][: cs.n_points]
+            err = evaluation.misclassification_error(
+                labels, cs.gt_labels, cfg.max_labels
+            )
+            row["misclassification_pct"] = round(err, 3)
+            errs.append(err)
+        print(json.dumps(row))
+    summary = {
+        "pairs": len(css),
+        "mean_misclassification_pct": (
+            round(float(np.nanmean(errs)), 3) if errs else None
+        ),
+        "batch_wall_s_cold": round(t_total, 3),
+        "batch_wall_s_warm": round(t_warm, 3),
+        "devices": int(np.prod(list(mesh.shape.values()))),
+    }
+    print(json.dumps({"summary": summary}))
 
 
 def cmd_stream(args):

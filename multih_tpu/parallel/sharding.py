@@ -45,34 +45,51 @@ def make_mesh(devices=None, pair_axis: int | None = None) -> Mesh:
     return Mesh(dev, axis_names=("pair", "hyp"))
 
 
-def batched_fit(cfg: MultiHConfig):
+def batched_fit(cfg: MultiHConfig, adaptive: bool = False,
+                probe_tau: float = 8.0):
     """vmapped fit over a batch of padded pairs: the P4 'run the CLI 19
-    times' replacement — one XLA program for the whole benchmark."""
-    f = functools.partial(pipeline.fit, cfg=cfg)
-    return jax.vmap(f, in_axes=(0, 0, 0, 0))
+    times' replacement — one XLA program for the whole benchmark.
+
+    Signature of the returned callable: (x1 (B,N,2), x2, valid (B,N),
+    keys (B,), taus (B,)) -> FitResult with leading batch axis. `taus` is
+    the per-pair inlier threshold in px, *traced* — one compile serves any
+    mix of per-scene thresholds. With `adaptive`, each pair instead
+    self-calibrates its threshold (fit_adaptive) and `taus` is ignored.
+    """
+    if adaptive:
+        def one(x1, x2, valid, key, tau):
+            res, _ = pipeline.fit_adaptive(
+                x1, x2, valid, key, cfg, probe_tau=probe_tau
+            )
+            return res
+    else:
+        def one(x1, x2, valid, key, tau):
+            return pipeline.fit(x1, x2, valid, key, cfg, tau=tau)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))
 
 
 _SHARDED_FIT_CACHE: dict = {}
 
 
-def sharded_fit(cfg: MultiHConfig, mesh: Mesh):
+def sharded_fit(cfg: MultiHConfig, mesh: Mesh, adaptive: bool = False):
     """Batched fit with the pair axis sharded over the mesh's 'pair' axis.
 
-    Inputs: x1, x2 (B, N, 2); valid (B, N); keys (B,) PRNG keys.
+    Inputs: x1, x2 (B, N, 2); valid (B, N); keys (B,) PRNG keys; taus (B,).
     B must be a multiple of the mesh 'pair' axis size (pad with dummy pairs).
-    The jitted callable is cached per (cfg, mesh): a fresh closure per call
-    would retrace and recompile every time.
+    The jitted callable is cached per (cfg, mesh, adaptive): a fresh closure
+    per call would retrace and recompile every time.
     """
-    cache_key = (cfg, mesh)
+    cache_key = (cfg, mesh, adaptive)
     hit = _SHARDED_FIT_CACHE.get(cache_key)
     if hit is not None:
         return hit
-    vf = batched_fit(cfg)
+    vf = batched_fit(cfg, adaptive=adaptive)
     in_shardings = (
         NamedSharding(mesh, P("pair", None, None)),  # x1
         NamedSharding(mesh, P("pair", None, None)),  # x2
         NamedSharding(mesh, P("pair", None)),        # valid
         NamedSharding(mesh, P("pair")),              # keys
+        NamedSharding(mesh, P("pair")),              # taus
     )
     out_shardings = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P("pair")),
@@ -128,10 +145,12 @@ def sharded_verification(cfg: MultiHConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
-def run_benchmark_batch(pairs, cfg: MultiHConfig, mesh: Mesh | None = None,
-                        seed: int = 0):
-    """Fit a list of CorrespondenceSets as one sharded batch; returns a
-    FitResult with a leading batch axis (device order = input order)."""
+def prepare_benchmark_batch(pairs, cfg: MultiHConfig,
+                            mesh: Mesh | None = None, taus=None):
+    """Pad a list of CorrespondenceSets into one device-resident sharded
+    batch (x1, x2, valid, taus). Uploading once and reusing across calls
+    matters on remotely-attached devices, where per-call host->device
+    transfers dominate wall time."""
     import numpy as np
 
     if mesh is None:
@@ -146,9 +165,42 @@ def run_benchmark_batch(pairs, cfg: MultiHConfig, mesh: Mesh | None = None,
     for i, cs in enumerate(pairs):
         p1, p2, v = pipeline.pad_points(cs.x1, cs.x2, None, cfg.max_points)
         x1[i], x2[i], valid[i] = p1, p2, v
+    t = np.full((b_pad,), cfg.inlier_threshold, np.float32)
+    if taus is not None:
+        t[: len(taus)] = np.asarray(taus, np.float32)
+
+    s2 = NamedSharding(mesh, P("pair", None, None))
+    s1 = NamedSharding(mesh, P("pair", None))
+    s0 = NamedSharding(mesh, P("pair"))
+    return (
+        jax.device_put(x1, s2),
+        jax.device_put(x2, s2),
+        jax.device_put(valid, s1),
+        jax.device_put(t, s0),
+    ), b
+
+
+def run_benchmark_batch(pairs, cfg: MultiHConfig, mesh: Mesh | None = None,
+                        seed: int = 0, taus=None, adaptive: bool = False,
+                        prepared=None):
+    """Fit a list of CorrespondenceSets as one sharded batch; returns a
+    FitResult with a leading batch axis (device order = input order).
+
+    `taus`: optional per-pair inlier thresholds in px (length == len(pairs));
+    defaults to cfg.inlier_threshold for every pair. Ignored with
+    `adaptive` (per-pair self-calibration). Pass `prepared` (from
+    prepare_benchmark_batch) to reuse device-resident inputs across calls."""
+    import numpy as np
+
+    if mesh is None:
+        mesh = make_mesh()
+    if prepared is None:
+        prepared = prepare_benchmark_batch(pairs, cfg, mesh, taus)
+    (x1, x2, valid, t), b = prepared
+    b_pad = x1.shape[0]
     keys = jax.vmap(jax.random.key)(jnp.arange(seed, seed + b_pad))
 
-    f = sharded_fit(cfg, mesh)
+    f = sharded_fit(cfg, mesh, adaptive=adaptive)
     with mesh:
-        res = f(x1, x2, valid, keys)
+        res = f(x1, x2, valid, keys, t)
     return jax.tree_util.tree_map(lambda a: np.asarray(a)[:b], res)

@@ -112,3 +112,36 @@ class TestHypothesisSharding:
         np.testing.assert_array_equal(
             np.asarray(ref_counts)[np.asarray(i_top)], np.asarray(ref_c)
         )
+
+
+class TestPerPairTau:
+    def test_taus_vector_matches_per_pair_threshold(self, tiny_cfg, pairs):
+        """The traced per-pair tau vector must reproduce what separate
+        fixed-threshold fits would do: pair i fit at tau_i."""
+        mesh = sharding.make_mesh(jax.devices()[:8])
+        taus = [3.0, 4.5, 3.0, 6.0, 3.0, 4.5, 3.0, 6.0]
+        res = sharding.run_benchmark_batch(
+            pairs, tiny_cfg, mesh=mesh, taus=taus
+        )
+        # reference: unbatched traced-tau fit per pair, same keys
+        f = multih_tpu.make_fit_tau(tiny_cfg)
+        for i in (1, 3):
+            x1, x2, valid = multih_tpu.pad_points(
+                pairs[i].x1, pairs[i].x2, None, tiny_cfg.max_points
+            )
+            ri = f(x1, x2, valid, jax.random.key(i), taus[i])
+            np.testing.assert_array_equal(
+                res.labels[i], np.asarray(ri.labels)
+            )
+
+    def test_adaptive_batch_runs(self, tiny_cfg, pairs):
+        """Per-pair self-calibrated thresholds inside the batched program
+        (one compile for the whole suite with --adaptive)."""
+        mesh = sharding.make_mesh(jax.devices()[:8])
+        res = sharding.run_benchmark_batch(
+            pairs[:8], tiny_cfg, mesh=mesh, adaptive=True
+        )
+        assert res.labels.shape == (8, tiny_cfg.max_points)
+        # every pair has 2 planes at 10% outliers — self-calibration must
+        # find them
+        assert (res.active.sum(axis=1) >= 1).all()
