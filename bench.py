@@ -2,8 +2,11 @@
 
 Metric: verified homography hypotheses / sec / chip (BASELINE.json:5 target:
 >= 50,000), measured on the full pipeline's hypothesize+verify sweep at the
-stress scale (10k correspondences, 100k-hypothesis pool, BASELINE.json:10),
-plus the per-pair fit latency as secondary fields.
+ACTUAL stress configuration (10240 correspondences, 102400-hypothesis pool,
+70% outliers — BASELINE.json:10). Secondary fields: per-pair fit latency,
+streaming fps/p95, full stress-fit latency, and the verification kernel's
+Gpair/s with an estimated %-of-VPU-peak (assumptions documented at
+_VERIFY_FLOPS_PER_PAIR / _VPU_PEAK_FLOPS).
 
 vs_baseline is measured against the 50k hyp/s/chip contract (no published
 reference numbers exist: BASELINE.json:13, BASELINE.md).
@@ -15,24 +18,27 @@ import json
 import time
 
 
-def bench_hypothesis_throughput(n_points=4096, n_hyp=65536, iters=5):
+def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=3):
+    """Verified hypotheses/sec at the ACTUAL stress configuration
+    (BASELINE.json:10: 10k correspondences, 100k-hypothesis pool, 70%
+    outliers): threefry sampling + vmapped 4-pt DLT + the tiled Pallas
+    verification sweep, one fused XLA program."""
     import jax
     import jax.numpy as jnp
 
     import multih_tpu
     from multih_tpu.models import pipeline, labeling
-    from multih_tpu.ops import geometry
     from multih_tpu.utils import data
 
     cfg = multih_tpu.MultiHConfig(
         max_points=n_points,
         n_hypotheses=n_hyp,
         inlier_threshold=4.0,
-        residual_chunk=2048,
+        residual_chunk=4096,
     )
     cs, _ = data.synthetic_scene(
-        n_points=n_points, n_planes=8, outlier_rate=0.5, noise_px=0.75,
-        seed=0,
+        n_points=n_points, n_planes=8, outlier_rate=0.7, noise_px=0.5,
+        seed=42,
     )
     x1, x2, valid = multih_tpu.pad_points(cs.x1, cs.x2, None, cfg.max_points)
     x1, x2, valid = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid)
@@ -41,7 +47,7 @@ def bench_hypothesis_throughput(n_points=4096, n_hyp=65536, iters=5):
     def hypothesize_and_verify(key):
         nbr_idx, _ = labeling.knn_graph(x1, valid, cfg.knn_k)
         Hs, ok = pipeline.generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg)
-        counts = pipeline.count_inliers_chunked(Hs, x1, x2, valid, cfg)
+        counts = pipeline.count_inliers(Hs, x1, x2, valid, cfg)
         return counts * ok
 
     key = jax.random.key(0)
@@ -52,6 +58,80 @@ def bench_hypothesis_throughput(n_points=4096, n_hyp=65536, iters=5):
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return n_hyp / dt, dt
+
+
+# flops per (hypothesis, point) pair in the verification kernel: forward
+# transfer (2 dot3 + rcp + 2 fma + 2 sub + 3 for the norm ~ 20), backward
+# via adjugate (another ~20; the 27-flop adjugate itself is per-hypothesis,
+# amortized over the point tile), compare+mask+accumulate (~5). The count
+# is approximate by nature — it feeds a utilization ESTIMATE, not a claim.
+_VERIFY_FLOPS_PER_PAIR = 45.0
+# fp32 VPU peak of one TPU v5e core: the public spec gives 197 TFLOP/s
+# bf16 on 4 128x128 MXUs -> clock ~ 197e12/(4*128*128*2) ~ 1.5 GHz; the
+# VPU is (8 sublanes x 128 lanes) x 2 flops (FMA) x 1.5 GHz ~ 3.1 TFLOP/s
+# fp32. A back-of-envelope figure, used only to contextualize Gpair/s.
+_VPU_PEAK_FLOPS = 3.1e12
+
+
+def bench_verification_kernel(n_points=10240, n_hyp=102400, iters=8,
+                              reps=2):
+    """The verification sweep alone (Pallas tiled count kernel) at stress
+    scale: Gpair/s and an estimated fraction of VPU fp32 peak.
+
+    Methodology: each rep dispatches `iters` sweeps chained through a
+    scalar data dependency (next tau depends on the previous counts) and
+    blocks once — memoization-proof (the dev tunnel caches identical
+    calls) and queue-full (per-call blocking would measure tunnel RTT,
+    not the kernel). First rep is warm-up; best rep reported."""
+    import jax
+    import jax.numpy as jnp
+
+    import multih_tpu
+    from multih_tpu.models import pipeline, labeling
+    from multih_tpu.utils import data
+
+    cfg = multih_tpu.MultiHConfig(
+        max_points=n_points, n_hypotheses=n_hyp, inlier_threshold=4.0,
+        residual_chunk=4096,
+    )
+    cs, _ = data.synthetic_scene(
+        n_points=n_points, n_planes=8, outlier_rate=0.7, noise_px=0.5,
+        seed=42,
+    )
+    x1, x2, valid = multih_tpu.pad_points(cs.x1, cs.x2, None, cfg.max_points)
+    x1, x2, valid = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid)
+
+    @jax.jit
+    def pool(key):
+        nbr_idx, _ = labeling.knn_graph(x1, valid, cfg.knn_k)
+        Hs, _ = pipeline.generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg)
+        return Hs
+
+    Hs = pool(jax.random.key(0))
+    Hs.block_until_ready()
+
+    @jax.jit
+    def sweep_chained(Hs, tau):
+        counts = pipeline.count_inliers(Hs, x1, x2, valid, cfg, tau=tau)
+        return counts, tau + counts[0] * 1e-12
+
+    tau = jnp.asarray(4.0)
+    c, tau = sweep_chained(Hs, tau)  # compile
+    jax.block_until_ready(tau)
+
+    best = float("inf")
+    for rep in range(reps + 1):  # rep 0 = warm-up, discarded
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c, tau = sweep_chained(Hs, tau)
+        jax.block_until_ready(c)
+        dt = (time.perf_counter() - t0) / iters
+        if rep > 0:
+            best = min(best, dt)
+    pairs = float(n_points) * float(n_hyp)
+    gpairs = pairs / best / 1e9
+    vpu_pct = 100.0 * gpairs * 1e9 * _VERIFY_FLOPS_PER_PAIR / _VPU_PEAK_FLOPS
+    return gpairs, vpu_pct, best
 
 
 def bench_pair_latency(iters=20):
@@ -132,7 +212,8 @@ def main():
     pair_s = bench_pair_latency()
     stream = bench_stream()
     stress_s = bench_stress()
-    hyp_per_s, sweep_s = bench_hypothesis_throughput()
+    hyp_per_s, hv_sweep_s = bench_hypothesis_throughput()
+    gpairs, vpu_pct, verify_s = bench_verification_kernel()
     target = 50_000.0  # BASELINE.json:5
     print(
         json.dumps(
@@ -142,13 +223,18 @@ def main():
                 "unit": "hypotheses/s",
                 "vs_baseline": round(hyp_per_s / target, 3),
                 "secondary": {
+                    # all *stress* fields measured at the 10240 pts x
+                    # 102400 hyp configuration (BASELINE.json:10)
                     "pair_fit_latency_ms": round(pair_s * 1e3, 3),
                     "pair_latency_target_ms": 10.0,
                     "stream_p95_ms": round(stream.p95_ms, 3),
                     "stream_fps": round(stream.fps, 1),
                     "stream_budget_ms": 33.3,
                     "stress_fit_ms": round(stress_s * 1e3, 1),
-                    "stress_sweep_s": round(sweep_s, 4),
+                    "stress_hypothesize_verify_s": round(hv_sweep_s, 4),
+                    "stress_verify_sweep_s": round(verify_s, 4),
+                    "verify_gpairs_per_s": round(gpairs, 2),
+                    "verify_vpu_peak_pct_est": round(vpu_pct, 1),
                 },
             }
         )
