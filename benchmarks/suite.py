@@ -2,49 +2,62 @@
 
 The real AdelaideRMF .mat files are not present in this offline image, so
 the 19-pair benchmark (BASELINE.json:9) is realized as a fixed, seeded
-family of 19 synthetic stereo scenes spanning the difficulty range of the
+family of synthetic stereo scenes spanning the difficulty range of the
 Adelaide homography set (2-7 planes, 60-700 correspondences, up to 50%
-outliers, 0-1px noise). Scene parameters are frozen here so golden numbers
-and regression comparisons are stable across rounds. When the actual
-dataset becomes available, `multih bench-adelaide <dir>` runs the same
-report on it directly.
+outliers, 0-1px noise) — 19 region-clustered scenes mirroring the original
+benchmark size, plus interleaved/overlapping-plane scenes matching the
+spatial geometry of the real pairs (plane regions sharing area; spatial
+neighborhoods that are label mixtures). Scene parameters are frozen here so
+golden numbers and regression comparisons are stable across rounds. When
+the actual dataset becomes available, `multih bench-adelaide <dir>` runs
+the same report on it directly.
 """
 
 from __future__ import annotations
 
 from multih_tpu.utils import data
 
-# name, n_points, n_planes, outlier_rate, noise_px, seed
+# name, n_points, n_planes, outlier_rate, noise_px, seed, extra-kwargs
+# (extra kwargs go to data.synthetic_scene: overlap / clustered — the
+# interleaved-plane scenes modeling real AdelaideRMF geometry, where plane
+# regions share area and spatial neighborhoods are label mixtures)
 SUITE = [
-    ("easy2_a", 300, 2, 0.05, 0.3, 101),
-    ("easy2_b", 450, 2, 0.10, 0.5, 102),
-    ("easy2_c", 240, 2, 0.00, 0.0, 103),
-    ("med3_a", 400, 3, 0.15, 0.5, 104),
-    ("med3_b", 500, 3, 0.20, 0.5, 105),
-    ("med3_c", 350, 3, 0.10, 0.7, 106),
-    ("med4_a", 480, 4, 0.15, 0.5, 107),
-    ("med4_b", 600, 4, 0.25, 0.5, 108),
-    ("hard5_a", 600, 5, 0.30, 0.5, 109),
-    ("hard5_b", 700, 5, 0.25, 0.7, 110),
-    ("hard6_a", 660, 6, 0.30, 0.5, 111),
-    ("hard7_a", 700, 7, 0.25, 0.5, 112),
-    ("outlier50_a", 500, 3, 0.50, 0.5, 113),
-    ("outlier50_b", 600, 4, 0.50, 0.5, 114),
-    ("small_a", 120, 2, 0.10, 0.3, 115),
-    ("small_b", 60, 1, 0.15, 0.3, 116),
-    ("noisy_a", 400, 3, 0.15, 1.0, 117),
-    ("noisy_b", 500, 4, 0.20, 1.0, 118),
-    ("single_a", 350, 1, 0.30, 0.5, 119),
+    ("easy2_a", 300, 2, 0.05, 0.3, 101, {}),
+    ("easy2_b", 450, 2, 0.10, 0.5, 102, {}),
+    ("easy2_c", 240, 2, 0.00, 0.0, 103, {}),
+    ("med3_a", 400, 3, 0.15, 0.5, 104, {}),
+    ("med3_b", 500, 3, 0.20, 0.5, 105, {}),
+    ("med3_c", 350, 3, 0.10, 0.7, 106, {}),
+    ("med4_a", 480, 4, 0.15, 0.5, 107, {}),
+    ("med4_b", 600, 4, 0.25, 0.5, 108, {}),
+    ("hard5_a", 600, 5, 0.30, 0.5, 109, {}),
+    ("hard5_b", 700, 5, 0.25, 0.7, 110, {}),
+    ("hard6_a", 660, 6, 0.30, 0.5, 111, {}),
+    ("hard7_a", 700, 7, 0.25, 0.5, 112, {}),
+    ("outlier50_a", 500, 3, 0.50, 0.5, 113, {}),
+    ("outlier50_b", 600, 4, 0.50, 0.5, 114, {}),
+    ("small_a", 120, 2, 0.10, 0.3, 115, {}),
+    ("small_b", 60, 1, 0.15, 0.3, 116, {}),
+    ("noisy_a", 400, 3, 0.15, 1.0, 117, {}),
+    ("noisy_b", 500, 4, 0.20, 1.0, 118, {}),
+    ("single_a", 350, 1, 0.30, 0.5, 119, {}),
+    # interleaved / overlapping plane regions (VERDICT r1 #2): partial
+    # overlap first, then the no-locality extreme (uniform plane points)
+    ("overlap3_a", 450, 3, 0.15, 0.5, 122, {"overlap": 0.5}),
+    ("overlap4_a", 520, 4, 0.20, 0.5, 123, {"overlap": 0.5}),
+    ("overlap5_a", 600, 5, 0.25, 0.5, 124, {"overlap": 0.35}),
+    ("inter3_a", 450, 3, 0.10, 0.5, 120, {"clustered": False}),
+    ("inter4_a", 520, 4, 0.15, 0.5, 121, {"clustered": False}),
 ]
 
 
 def scenes():
     """Materialize the suite: list of (CorrespondenceSet, true_H)."""
     out = []
-    for name, n, planes, outl, noise, seed in SUITE:
+    for name, n, planes, outl, noise, seed, kw in SUITE:
         cs, H = data.synthetic_scene(
             n_points=n, n_planes=planes, outlier_rate=outl, noise_px=noise,
-            seed=seed,
+            seed=seed, **kw,
         )
         cs = cs._replace(name=name)
         out.append((cs, H))
@@ -64,7 +77,7 @@ def tau_for_noise(noise_px: float) -> float:
 
 
 def suite_params(name):
-    for n, npts, planes, outl, noise, seed in SUITE:
+    for n, npts, planes, outl, noise, seed, kw in SUITE:
         if n == name:
             return {"inlier_threshold": tau_for_noise(noise)}
     raise KeyError(name)

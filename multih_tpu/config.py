@@ -46,6 +46,10 @@ class MultiHConfig:
 
     # --- neighborhood graph (reference C8) ---
     knn_k: int = 6                      # spatial neighbors per point
+    knn_row_block: int = 0              # row-block size for the blocked
+                                        # k-NN build (memory O(N*block));
+                                        # 0 = auto: dense (N,N) for
+                                        # N <= 4096, 2048-row blocks above
 
     # --- PEARL energy (reference C9/C10, gco alpha-expansion analog) ---
     spatial_weight: float = 0.1         # lambda: Potts smoothness weight

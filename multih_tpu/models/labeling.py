@@ -29,29 +29,60 @@ _HI = jax.lax.Precision.HIGHEST  # fp32 matmuls (TPU defaults to bf16)
 # k-NN neighborhood graph (reference C8: Delaunay/k-NN over keypoints)
 # ---------------------------------------------------------------------------
 
-def knn_graph(pts: jax.Array, valid: jax.Array, k: int):
+def knn_graph(pts: jax.Array, valid: jax.Array, k: int, row_block: int = 0):
     """Spatial k-NN over the first-image keypoint positions.
 
-    Dense (N, N) distance computation via the |a-b|^2 = |a|^2 + |b|^2 - 2ab
-    matmul identity (MXU), then top-k. Padded points never appear as
-    neighbors; their own neighbor rows are harmless self-loops with zero
-    weight.
+    Distances via the |a-b|^2 = |a|^2 + |b|^2 - 2ab matmul identity (MXU),
+    then top-k. For large N the rows are processed in blocks of `row_block`
+    under ``lax.map`` so peak memory is O(N * row_block), never the dense
+    (N, N) matrix — at N=32k the dense build would need 4 GB; blocked at
+    2048 rows it streams 256 MB tiles (the scaling axis of
+    BASELINE.json:10). `row_block` <= 0 selects automatically: dense for
+    N <= 4096 (one matmul, fastest), 2048-row blocks above. Padded points
+    never appear as neighbors; their own rows are harmless self-loops with
+    zero weight.
 
     Returns (nbr_idx (N, k) int32, nbr_w (N, k) float): neighbor indices and
     {0,1} edge weights (0 for edges into padding or from padding).
     """
     n = pts.shape[0]
+    if row_block <= 0:
+        row_block = n if n <= 4096 else 2048
+    big = jnp.asarray(1e30, pts.dtype)
     sq = jnp.sum(pts * pts, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
-        pts, pts.T, preferred_element_type=jnp.float32, precision=_HI
-    )
-    big = jnp.asarray(1e30, d2.dtype)
-    d2 = d2 + jnp.where(valid[None, :] > 0, 0.0, big)  # exclude padding
-    d2 = d2 + big * jnp.eye(n, dtype=d2.dtype)  # exclude self
-    neg_d2, nbr_idx = jax.lax.top_k(-d2, k)
-    edge_real = (-neg_d2 < big * 0.5).astype(pts.dtype)
+    col_pen = jnp.where(valid > 0, 0.0, big)  # exclude padding columns
+    col_idx = jnp.arange(n)
+
+    def rows_topk(p_blk, i_blk):
+        d2 = (
+            jnp.sum(p_blk * p_blk, axis=1)[:, None]
+            + sq[None, :]
+            - 2.0
+            * jnp.dot(
+                p_blk, pts.T, preferred_element_type=jnp.float32,
+                precision=_HI,
+            )
+        )
+        d2 = d2 + col_pen[None, :]
+        d2 = d2 + big * (i_blk[:, None] == col_idx[None, :]).astype(d2.dtype)
+        neg_d2, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), (-neg_d2 < big * 0.5).astype(pts.dtype)
+
+    if row_block >= n:
+        nbr_idx, edge_real = rows_topk(pts, col_idx)
+    else:
+        nb = -(-n // row_block)
+        pad = nb * row_block - n
+        p = jnp.pad(pts, ((0, pad), (0, 0)))
+        ii = jnp.arange(nb * row_block)
+        idxs, reals = jax.lax.map(
+            lambda a: rows_topk(*a),
+            (p.reshape(nb, row_block, 2), ii.reshape(nb, row_block)),
+        )
+        nbr_idx = idxs.reshape(-1, k)[:n]
+        edge_real = reals.reshape(-1, k)[:n]
     nbr_w = edge_real * valid[:, None]
-    return nbr_idx.astype(jnp.int32), nbr_w
+    return nbr_idx, nbr_w
 
 
 # ---------------------------------------------------------------------------

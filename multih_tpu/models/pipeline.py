@@ -233,6 +233,71 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
 count_inliers_chunked = count_inliers
 
 
+def verify_select_topk(Hs_all, ok, x1, x2, valid, cfg: MultiHConfig,
+                       tau=None, mesh=None):
+    """The verification sweep + top-M candidate pick, optionally sharded
+    over the hypothesis axis (SURVEY.md §2 P3 *inside* the full fit).
+
+    Without a mesh (or with a 1-sized 'hyp' axis): one count_inliers sweep
+    and a global top-M. With a mesh whose 'hyp' axis is > 1: the pool is
+    split across devices via shard_map — each device sweeps its own
+    hypothesis shard against the replicated points, takes a local top-M,
+    and the global top-M is recovered from the all_gathered (count, index)
+    candidates. Counts never cross devices; only 2*M scalars per device do,
+    so the collective cost is independent of pool size — this is what
+    scales the 100k-hypothesis stress pools past one chip
+    (BASELINE.json:10).
+
+    Returns (top_counts (M,), top_idx (M,) into Hs_all).
+    """
+    m = cfg.n_candidates
+    n_shards = 1 if mesh is None else mesh.shape.get("hyp", 1)
+    if n_shards <= 1:
+        counts = count_inliers(Hs_all, x1, x2, valid, cfg, tau) * ok
+        return jax.lax.top_k(counts, m)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    s = Hs_all.shape[0]
+    pad = (-s) % n_shards
+    if pad:
+        Hs_all = jnp.concatenate(
+            [Hs_all,
+             jnp.broadcast_to(jnp.eye(3, dtype=Hs_all.dtype), (pad, 3, 3))]
+        )
+        ok = jnp.concatenate([ok, jnp.zeros((pad,), ok.dtype)])
+    tau_arr = jnp.asarray(
+        cfg.inlier_threshold if tau is None else tau, x1.dtype
+    )
+    m_loc = min(m, (s + pad) // n_shards)
+
+    def local_fn(Hs_blk, ok_blk, x1, x2, valid, tau_arr):
+        counts = count_inliers(Hs_blk, x1, x2, valid, cfg, tau_arr) * ok_blk
+        c_loc, i_loc = jax.lax.top_k(counts, m_loc)
+        gidx = i_loc + jax.lax.axis_index("hyp") * Hs_blk.shape[0]
+        # 2*m_loc scalars per device on ICI; final top-M replicated
+        c_all = jax.lax.all_gather(c_loc, "hyp").reshape(-1)
+        i_all = jax.lax.all_gather(gidx, "hyp").reshape(-1)
+        c_top, pos = jax.lax.top_k(c_all, m)
+        return c_top, i_all[pos]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("hyp"), P("hyp"), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (identical final top_k on every shard) but
+        # the static checker cannot infer it
+        check_vma=False,
+    )
+    c_top, i_top = fn(Hs_all, ok, x1, x2, valid, tau_arr)
+    # padded slots (count 0, highest indices) can only surface when fewer
+    # than M real hypotheses have any support; clamp so the gather below
+    # stays in the caller's unpadded pool
+    return c_top, jnp.minimum(i_top, s - 1)
+
+
 def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
                  tau=None):
     """C12: re-estimate every plane's H from its currently assigned points,
@@ -440,7 +505,8 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
 
 
 def fit(x1, x2, valid, key, cfg: MultiHConfig,
-        affines=None, tau=None, seed_Hs=None, seed_ok=None) -> FitResult:
+        affines=None, tau=None, seed_Hs=None, seed_ok=None,
+        mesh=None) -> FitResult:
     """Full Multi-H fit on one (padded) correspondence set.
 
     Args:
@@ -464,6 +530,9 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         sampled hypothesis, so a stale seed simply loses.
       seed_ok: optional (M,) float {0,1} seed validity (e.g. the previous
         fit's `active`); non-finite seeds are masked out regardless.
+      mesh: optional jax.sharding.Mesh (static). When its 'hyp' axis is
+        > 1, the verification sweep + top-M run sharded over the
+        hypothesis axis (verify_select_topk) — P3 inside the full fit.
     """
     k = cfg.max_labels
     thr = _thr(cfg, tau, x1.dtype)
@@ -479,7 +548,9 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     # C8: spatial neighborhood (also feeds localized sampling)
     with jax.named_scope("knn_graph"):
-        nbr_idx, nbr_w = labeling.knn_graph(x1, valid, cfg.knn_k)
+        nbr_idx, nbr_w = labeling.knn_graph(
+            x1, valid, cfg.knn_k, cfg.knn_row_block
+        )
 
     # C5: hypothesis pool
     key, k_gen, k_f = jax.random.split(key, 3)
@@ -510,8 +581,9 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     # C6 + C7: verification sweep, LO growth, candidate selection
     with jax.named_scope("verify"):
-        counts = count_inliers(Hs_all, x1, x2, valid, cfg, tau) * ok
-        top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
+        top_counts, top_idx = verify_select_topk(
+            Hs_all, ok, x1, x2, valid, cfg, tau, mesh
+        )
     with jax.named_scope("lo_refine"):
         Hs_top = lo_refine_candidates(
             Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds, tau

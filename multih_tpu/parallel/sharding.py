@@ -102,6 +102,30 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh, adaptive: bool = False):
     return f
 
 
+def hyp_sharded_fit(cfg: MultiHConfig, mesh: Mesh):
+    """The FULL single-pair fit with its verification sweep + top-M sharded
+    over the mesh's 'hyp' axis (P3 integrated into fit, not a standalone
+    sweep: pipeline.verify_select_topk). Hypothesis generation, PEARL and
+    refits are replicated — at stress scale the verification sweep is the
+    dominant term that grows with the pool, and it is the only stage whose
+    sharding needs a collective (the distributed top-M's all_gather of
+    2*M scalars per device).
+
+    Returns jitted f(x1, x2, valid, key) -> FitResult.
+    """
+    cache_key = ("hyp_fit", cfg, mesh)
+    hit = _SHARDED_FIT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    f = jax.jit(
+        lambda x1, x2, valid, key: pipeline.fit(
+            x1, x2, valid, key, cfg, mesh=mesh
+        )
+    )
+    _SHARDED_FIT_CACHE[cache_key] = f
+    return f
+
+
 def sharded_verification(cfg: MultiHConfig, mesh: Mesh):
     """P3's intra-pair axis: the hypothesis pool sharded over the mesh's
     'hyp' axis via shard_map. Each device verifies its own hypothesis

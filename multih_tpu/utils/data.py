@@ -113,12 +113,21 @@ def synthetic_scene(
     seed: int = 0,
     image_size: float = 640.0,
     clustered: bool = True,
+    overlap: float = 0.0,
 ) -> tuple[CorrespondenceSet, np.ndarray]:
     """Multi-plane stereo scene with known GT (BASELINE.json:8,10).
 
     Points of each plane are spatially clustered in image 1 (planes are
     compact regions in real scenes — required for the locality prior).
     GT label convention matches AdelaideRMF: 0 = outlier, 1..P = planes.
+
+    `overlap` in [0, 1] interleaves the clustered plane regions: centers
+    are pulled toward the image center and the per-plane spread grows, so
+    at overlap=0.5 adjacent regions share substantial area and many spatial
+    neighborhoods are plane mixtures — the geometry of real AdelaideRMF
+    pairs (building facades meeting at edges, foreground over background).
+    `clustered=False` is the extreme: every plane's points uniform over the
+    whole image (no locality signal at all).
 
     Returns (CorrespondenceSet, (P, 3, 3) true homographies).
     """
@@ -149,6 +158,10 @@ def synthetic_scene(
         ]
     )
     sigma = 0.30 * spacing
+    if overlap > 0.0:
+        mid = np.array([image_size / 2.0, image_size / 2.0])
+        centers = mid + (centers - mid) * (1.0 - 0.65 * overlap)
+        sigma = sigma * (1.0 + 1.5 * overlap)
     for p in range(n_planes):
         c = counts[p]
         if clustered:

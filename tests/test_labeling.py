@@ -26,6 +26,34 @@ class TestKnnGraph:
             assert set(nbr_idx[i]) == set(ref[i][1:]), i
         assert np.all(nbr_w == 1.0)
 
+    def test_blocked_matches_dense(self, rng):
+        """Row-blocked build (memory O(N*block)) is exact vs the dense path,
+        including non-divisible N and padding."""
+        n, k = 700, 6
+        pts = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        valid = jnp.asarray((np.arange(n) < 650).astype(np.float32))
+        p = jnp.asarray(pts)
+        di, dw = labeling.knn_graph(p, valid, k, row_block=n)
+        bi, bw = labeling.knn_graph(p, valid, k, row_block=256)
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(bi))
+        np.testing.assert_array_equal(np.asarray(dw), np.asarray(bw))
+
+    def test_blocked_matches_ckdtree(self, rng):
+        n, k = 2048, 5
+        pts = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        nbr_idx, _ = jax.jit(
+            labeling.knn_graph, static_argnums=(2, 3)
+        )(jnp.asarray(pts), jnp.ones(n), k, 512)
+        nbr_idx = np.asarray(nbr_idx)
+        tree = cKDTree(pts)
+        _, ref = tree.query(pts, k + 1)
+        mismatch = sum(
+            set(nbr_idx[i]) != set(ref[i][1:]) for i in range(n)
+        )
+        # fp32 matmul-identity distances may flip exact-tie neighbors on a
+        # handful of points; the graph is statistically identical
+        assert mismatch <= n // 200, mismatch
+
     def test_padding_excluded(self, rng):
         n, k = 40, 4
         pts = rng.uniform(0, 100, (n, 2)).astype(np.float32)

@@ -114,6 +114,41 @@ class TestHypothesisSharding:
         )
 
 
+class TestHypShardedFullFit:
+    def test_full_fit_hyp_sharded_parity(self, tiny_cfg, pairs):
+        """P3 integrated: the FULL fit with its verification + top-M sharded
+        over the hypothesis axis matches the single-device fit exactly
+        (same key -> same pool -> same candidates -> same PEARL run)."""
+        import jax.numpy as jnp
+
+        mesh = sharding.make_mesh(jax.devices()[:8], pair_axis=1)
+        assert mesh.shape["hyp"] == 8
+        cs = pairs[2]
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, tiny_cfg.max_points
+        )
+        x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+        key = jax.random.key(11)
+
+        f_sh = sharding.hyp_sharded_fit(tiny_cfg, mesh)
+        res_sh = f_sh(x1, x2, valid, key)
+        res_1 = multih_tpu.make_fit(tiny_cfg)(x1, x2, valid, key)
+
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.labels), np.asarray(res_1.labels)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.homographies),
+            np.asarray(res_1.homographies), rtol=2e-4, atol=2e-5,
+        )
+        # and it actually solves the scene
+        err = evaluation.misclassification_error(
+            np.asarray(res_sh.labels)[: cs.n_points], cs.gt_labels,
+            tiny_cfg.max_labels,
+        )
+        assert err < 5.0, err
+
+
 class TestPerPairTau:
     def test_taus_vector_matches_per_pair_threshold(self, tiny_cfg, pairs):
         """The traced per-pair tau vector must reproduce what separate
