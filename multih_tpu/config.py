@@ -46,6 +46,16 @@ class MultiHConfig:
 
     # --- neighborhood graph (reference C8) ---
     knn_k: int = 6                      # spatial neighbors per point
+    sampling_motion_weight: float = 2.0 # locality-biased sampling draws
+                                        # neighbors in (x1, w*(x2-x1))
+                                        # space: same-plane points cluster
+                                        # by motion even when spatially
+                                        # interleaved (clean-quad rate on
+                                        # interleaved scenes: 1% spatial ->
+                                        # 58% at w=2). 0 = spatial only
+                                        # (reuses the labeling graph).
+                                        # The Potts labeling graph itself
+                                        # stays purely spatial (C8).
     knn_row_block: int = 0              # row-block size for the blocked
                                         # k-NN build (memory O(N*block));
                                         # 0 = auto: dense (N,N) for

@@ -546,17 +546,32 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         if affines is not None:
             affines = affines[perm]
 
-    # C8: spatial neighborhood (also feeds localized sampling)
+    # C8: spatial neighborhood (the Potts smoothness graph)
     with jax.named_scope("knn_graph"):
         nbr_idx, nbr_w = labeling.knn_graph(
             x1, valid, cfg.knn_k, cfg.knn_row_block
         )
+    # sampling neighborhood: same-plane points cluster in (position,
+    # motion) space even when plane regions spatially interleave — drawing
+    # locality-biased quads from this graph raises the clean-quad rate
+    # ~40x on interleaved scenes (see config.sampling_motion_weight). The
+    # labeling graph above stays purely spatial (the reference's C8).
+    if cfg.sampling_motion_weight > 0.0:
+        feat = jnp.concatenate(
+            [x1, cfg.sampling_motion_weight * (x2 - x1)], axis=1
+        )
+        with jax.named_scope("sampling_knn"):
+            nbr_sample, _ = labeling.knn_graph(
+                feat, valid, cfg.knn_k, cfg.knn_row_block
+            )
+    else:
+        nbr_sample = nbr_idx
 
     # C5: hypothesis pool
     key, k_gen, k_f = jax.random.split(key, 3)
     with jax.named_scope("hypothesize"):
-        Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_idx, cfg,
-                                     tau)
+        Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_sample,
+                                         cfg, tau)
     if affines is not None:
         from multih_tpu.ops import epipolar
 

@@ -184,14 +184,21 @@ class TestWarmStart:
         assert int(np.asarray(rs.active).sum()) == 4
 
     def test_stream_warm_start_beats_cold(self):
-        """On a drifting 4-plane stream at the same tiny budget, the
-        warm-started stream retains more planes than the cold one
-        (measured: 2.0 vs 1.625 mean planes)."""
-        cfg = self.CFG
+        """On a drifting 5-plane stream at a starvation budget (16
+        hypotheses, no progressive claiming), the warm-started stream
+        retains more planes than the cold one (measured: 3.625 vs 3.25
+        mean planes). The budget is this small because motion-augmented
+        sampling made cold 24-hypothesis fits solve the old 4-plane
+        setting outright — the warm-start advantage only shows below the
+        cold path's sampling floor."""
+        cfg = multih_tpu.MultiHConfig(
+            max_points=256, n_hypotheses=16, n_candidates=16, max_labels=6,
+            progressive_rounds=1, label_cost=8.0, min_inliers=8,
+        )
 
         def src():
             return streaming.SyntheticStream(
-                n_frames=8, n_points=240, n_planes=4, outlier_rate=0.3,
+                n_frames=8, n_points=240, n_planes=5, outlier_rate=0.3,
                 noise_px=0.5, seed=5, drift=0.02,
             )
 

@@ -31,6 +31,8 @@ class PearlParams:
     merge_iou: float = 0.5
     nms_iou: float = 0.8
     lo_rounds: int = 3
+    sampling_rounds: int = 5
+    sampling_motion_weight: float = 2.0
     seed: int = 0
 
 
@@ -122,11 +124,33 @@ def pearl_fit(x1, x2, p: PearlParams):
     n = x1.shape[0]
     thr = p.inlier_threshold**2
     nbr, pq, ew = knn_graph(x1, p.knn_k)
+    # sampling neighbors live in (position, motion) space: same-plane
+    # points cluster by motion even when plane regions interleave spatially
+    # (clean-quad rate on interleaved scenes: ~1% spatial -> ~58% at w=2).
+    # The Potts graph (pq, ew) above stays purely spatial, like the
+    # reference's C8. Mirrors the TPU pipeline's sampling_motion_weight.
+    if p.sampling_motion_weight > 0:
+        feat = np.concatenate(
+            [x1, p.sampling_motion_weight * (x2 - x1)], axis=1
+        )
+        nbr_s, _, _ = knn_graph(feat, p.knn_k)
+    else:
+        nbr_s = nbr
+
+    # LO growth schedule (squared-threshold multipliers): gradual descent
+    # with repeats, starting wide. A homography from a tight local quad
+    # extrapolates with error ~(dist/quad_size)^2 * noise — hundreds of px
+    # at plane scale — so a single wide iteration cannot escape the seed's
+    # neighborhood; each repeated refit extends the acceptance region a
+    # little and the next one extrapolates further. With the old schedule
+    # (16, 4, 1, 1, 1) specific hard6_a/hard7_a planes NEVER grew (best
+    # coverage 6-9% over 512 grown samples); with this one every plane of
+    # both scenes reaches 97-100% coverage.
+    lo_schedule = [64, 64, 32, 32, 16, 16, 8, 8, 4, 4, 2, 1, 1]
 
     def lo_grow(H, rounds, base_mask=None):
-        """Shrinking-threshold LO + tau polish, keep-if-better at tau."""
-        for ridx in range(rounds + 2):
-            mult = max(4.0 ** (rounds - 1 - ridx), 1.0)
+        """Gradual shrinking-threshold LO, keep-if-better at tau."""
+        for mult in lo_schedule:
             rr = symmetric_error_sq(H, x1, x2)
             w = np.maximum(0, 1 - rr / (thr * mult)) ** 2 * (rr < thr * mult)
             if base_mask is not None:
@@ -146,13 +170,22 @@ def pearl_fit(x1, x2, p: PearlParams):
     # hypotheses by LO, claim their inliers, repeat. Guarantees later
     # (smaller / more occluded) planes get clean dense samples instead of
     # competing with already-found structures.
+    # Round budget trade-off: more rounds = more claim opportunities (good
+    # for many planes), but each round must still contain a clean minimal
+    # sample of an UNFOUND plane among its uniform half — on interleaved
+    # scenes (no locality signal) clean-quad probability is ~0.2-1% per
+    # sample, so 10 thin rounds of ~100 uniform samples each find nothing
+    # round after round while 5 rounds of ~400 reliably land one. With the
+    # gradual LO schedule above, one clean quad per plane is all a round
+    # needs. Claims are gated on min_inliers: claiming a 3-point junk
+    # "plane" just churns the available set.
     claimed = np.zeros(n, bool)
-    rounds = 5
+    rounds = p.sampling_rounds
     per_round = p.n_hypotheses // rounds
     Hs = []
     for _ in range(rounds):
         avail = np.where(~claimed)[0]
-        if avail.size < 8:
+        if avail.size < max(8, p.min_inliers):
             break
         round_H = []
         for s in range(per_round):
@@ -160,9 +193,9 @@ def pearl_fit(x1, x2, p: PearlParams):
                 idx = rng.choice(avail, 4, replace=False)
             else:
                 seed_pt = rng.choice(avail)
-                nb = [q for q in nbr[seed_pt] if not claimed[q]]
+                nb = [q for q in nbr_s[seed_pt] if not claimed[q]]
                 if len(nb) < 3:
-                    nb = list(nbr[seed_pt])
+                    nb = list(nbr_s[seed_pt])
                 idx = np.concatenate(
                     [[seed_pt], rng.choice(nb, 3, replace=False)]
                 )
@@ -178,15 +211,18 @@ def pearl_fit(x1, x2, p: PearlParams):
         )
         order = np.argsort(-(r_avail < thr).sum(1))
         grown = []
-        for i in order[: max(8, p.n_candidates // rounds)]:
+        for i in order[: max(16, p.n_candidates // rounds)]:
             grown.append(lo_grow(round_H[i], p.lo_rounds))
         Hs.extend(grown)
-        # claim: the single best grown hypothesis takes its tau-inliers
+        # claim: the best grown hypothesis takes its tau-inliers — but only
+        # if it is a real plane (>= min_inliers); claiming junk churns avail
         best = max(
             grown,
             key=lambda H: (symmetric_error_sq(H, x1, x2) < thr).sum(),
         )
-        claimed |= symmetric_error_sq(best, x1, x2) < thr
+        newly = symmetric_error_sq(best, x1, x2) < thr
+        if newly.sum() >= p.min_inliers:
+            claimed |= newly
     Hs = np.stack(Hs)
 
     # NMS by inlier IoU
