@@ -60,6 +60,13 @@ class MultiHConfig:
                                         # k-NN build (memory O(N*block));
                                         # 0 = auto: dense (N,N) for
                                         # N <= 4096, 2048-row blocks above
+    agree_block: int = 256              # block size of the banded neighbor
+                                        # agreement operator (PEARL sweeps
+                                        # as block-tridiagonal MXU matmuls
+                                        # instead of gather/scatter; needs
+                                        # spatial_sort and N % block == 0,
+                                        # else the gather path runs).
+                                        # 0 disables the banded operator.
 
     # --- PEARL energy (reference C9/C10, gco alpha-expansion analog) ---
     spatial_weight: float = 0.1         # lambda: Potts smoothness weight

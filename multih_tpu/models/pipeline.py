@@ -416,7 +416,7 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int,
 
 
 def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
-                     cfg: MultiHConfig, tau=None):
+                     cfg: MultiHConfig, tau=None, adj=None):
     """One PEARL alternation (SURVEY.md §3.1 inner loop):
     residuals -> data costs -> mean-field+ICM labeling -> refit -> accept
     -> merge duplicates -> label-cost prune.
@@ -434,7 +434,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     q = labeling.mean_field(
         dcost, nbr_idx, nbr_w, cfg.spatial_weight,
         cfg.meanfield_iterations, cfg.temperature_start, cfg.temperature,
-        q_init=q,
+        q_init=q, adj=adj,
     )
     # Two ICM starts, keep the lower-energy labeling. Mean-field smooths
     # well once planes have mass but cannot nucleate sparse fragments
@@ -444,6 +444,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     labels = labeling.best_labeling(
         [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
         dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+        adj=adj,
     )
 
     # refit on assignments; accept per-plane only if inliers don't shrink
@@ -499,7 +500,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
 
     energy = labeling.total_energy(
         labels, dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.label_cost,
-        active,
+        active, adj=adj,
     )
     return (Hs, active, q), energy
 
@@ -551,6 +552,20 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         nbr_idx, nbr_w = labeling.knn_graph(
             x1, valid, cfg.knn_k, cfg.knn_row_block
         )
+    # banded agreement operator: with Morton-ordered points, ~96% of k-NN
+    # edges connect near indices, so every PEARL sweep becomes a block-
+    # tridiagonal MXU matmul (one-time build here; far edges kept exact).
+    # Without spatial_sort the band assumption is void — gather path runs.
+    n_pts = x1.shape[0]
+    if (cfg.agree_block > 0 and cfg.spatial_sort
+            and n_pts % cfg.agree_block == 0
+            and n_pts >= 2 * cfg.agree_block):
+        with jax.named_scope("banded_adjacency"):
+            adj = labeling.build_banded_adjacency(
+                nbr_idx, nbr_w, cfg.agree_block
+            )
+    else:
+        adj = None
     # sampling neighborhood: same-plane points cluster in (position,
     # motion) space even when plane regions spatially interleave — drawing
     # locality-biased quads from this graph raises the clean-quad rate
@@ -625,7 +640,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     def step(carry, xs):
         return _pearl_iteration(
-            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg, tau
+            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg, tau, adj
         )
 
     with jax.named_scope("pearl"):
@@ -640,6 +655,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     labels = labeling.best_labeling(
         [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
         dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+        adj=adj,
     )
     # points on inactive planes -> outlier label
     label_active = jnp.concatenate([active, jnp.ones((1,), active.dtype)])

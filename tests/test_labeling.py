@@ -26,6 +26,17 @@ class TestKnnGraph:
             assert set(nbr_idx[i]) == set(ref[i][1:]), i
         assert np.all(nbr_w == 1.0)
 
+    def test_blocked_matches_dense_4d(self, rng):
+        """Blocked build on 4-d (motion-augmented) features is exact vs
+        dense — the sampling graph path."""
+        n, k = 520, 5
+        pts = rng.uniform(-50, 640, (n, 4)).astype(np.float32)
+        valid = jnp.ones(n)
+        p = jnp.asarray(pts)
+        di, dw = labeling.knn_graph(p, valid, k, row_block=n)
+        bi, bw = labeling.knn_graph(p, valid, k, row_block=128)
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(bi))
+
     def test_blocked_matches_dense(self, rng):
         """Row-blocked build (memory O(N*block)) is exact vs the dense path,
         including non-divisible N and padding."""
@@ -163,6 +174,110 @@ class TestMeanFieldICM:
             jnp.asarray(nbr_w), lam, 8,
         ))
         assert energy(lab1) <= energy(lab0) + 1e-5
+
+
+class TestBandedAdjacency:
+    """The banded MXU agreement operator must reproduce the gather/scatter
+    reference exactly (same graph, same symmetrization) — it is a layout
+    change, not an approximation."""
+
+    def _graph(self, rng, n, k=6, morton=True):
+        import jax.numpy as jnp
+        from multih_tpu.models import pipeline
+
+        pts = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        valid = jnp.asarray((np.arange(n) < n - 7).astype(np.float32))
+        p = jnp.asarray(pts)
+        if morton:
+            perm = pipeline.morton_order(p, valid)
+            p, valid = p[perm], valid[perm]
+        return labeling.knn_graph(p, valid, k), valid
+
+    def test_agree_matches_gather(self, rng):
+        import jax.numpy as jnp
+
+        n, l = 1024, 9
+        (nbr_idx, nbr_w), valid = self._graph(rng, n)
+        adj = labeling.build_banded_adjacency(nbr_idx, nbr_w, block=128)
+        assert int(adj.n_dropped) == 0
+        p = jnp.asarray(rng.uniform(0, 1, (n, l)).astype(np.float32))
+        ref = labeling._neighbor_agreement(p, nbr_idx, nbr_w)
+        got = adj.agree(p)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+        deg_ref = labeling._degree(nbr_idx, nbr_w, p.dtype)
+        np.testing.assert_allclose(
+            np.asarray(adj.deg), np.asarray(deg_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_far_edges_exact_without_morton(self, rng):
+        """Random (non-Morton) order: most edges are 'far' — the sparse
+        fixup must still reproduce the reference when capacity suffices."""
+        import jax.numpy as jnp
+
+        n, l = 512, 5
+        (nbr_idx, nbr_w), valid = self._graph(rng, n, morton=False)
+        adj = labeling.build_banded_adjacency(
+            nbr_idx, nbr_w, block=64, far_capacity=2 * n * 6
+        )
+        assert int(adj.n_dropped) == 0
+        p = jnp.asarray(rng.uniform(0, 1, (n, l)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(adj.agree(p)),
+            np.asarray(labeling._neighbor_agreement(p, nbr_idx, nbr_w)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_no_dropped_edges_at_stress_scale(self):
+        """Default far capacity must hold the stress config's Morton-ordered
+        graph with margin (a dropped edge silently weakens the energy)."""
+        import jax.numpy as jnp
+        from multih_tpu.models import pipeline
+        from multih_tpu.utils import data
+
+        cs, _ = data.synthetic_scene(10240, 8, 0.7, 0.5, seed=42)
+        import multih_tpu
+
+        x1, x2, valid = map(
+            jnp.asarray, multih_tpu.pad_points(cs.x1, cs.x2, None, 10240)
+        )
+        perm = pipeline.morton_order(x1, valid)
+        nbr_idx, nbr_w = labeling.knn_graph(x1[perm], valid[perm], 6)
+        adj = labeling.build_banded_adjacency(nbr_idx, nbr_w, block=256)
+        n_far = int(jnp.sum(adj.far_w > 0))
+        assert int(adj.n_dropped) == 0, int(adj.n_dropped)
+        assert n_far <= adj.far_out.shape[0] // 2, (
+            "far capacity margin below 2x", n_far
+        )
+
+    def test_mean_field_icm_energy_parity(self, rng):
+        """Full sweeps through the banded operator agree with the gather
+        path (same labels, same energies)."""
+        import jax.numpy as jnp
+
+        n, l = 512, 6
+        (nbr_idx, nbr_w), valid = self._graph(rng, n)
+        adj = labeling.build_banded_adjacency(nbr_idx, nbr_w, block=128)
+        dcost = jnp.asarray(rng.uniform(0, 1, (n, l)).astype(np.float32))
+        q_ref = labeling.mean_field(dcost, nbr_idx, nbr_w, 0.3, 8, 2.0, 0.1)
+        q_band = labeling.mean_field(
+            dcost, nbr_idx, nbr_w, 0.3, 8, 2.0, 0.1, adj=adj
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_band), np.asarray(q_ref), rtol=2e-4, atol=2e-5
+        )
+        lab0 = jnp.argmin(dcost, axis=1)
+        i_ref = labeling.icm(lab0, dcost, nbr_idx, nbr_w, 0.3, 4)
+        i_band = labeling.icm(lab0, dcost, nbr_idx, nbr_w, 0.3, 4, adj=adj)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_band))
+        e_ref = labeling.mrf_energy(i_ref, dcost, nbr_idx, nbr_w, 0.3)
+        e_band = labeling.mrf_energy(
+            i_ref, dcost, nbr_idx, nbr_w, 0.3, adj=adj
+        )
+        np.testing.assert_allclose(
+            float(e_band), float(e_ref), rtol=1e-5
+        )
 
 
 class TestDataCosts:
