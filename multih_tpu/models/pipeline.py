@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from multih_tpu.config import MultiHConfig
 from multih_tpu.models import labeling, selection
 from multih_tpu.ops import geometry, sampling
+from multih_tpu.ops.kernels import dlt_kernel
 
 
 class FitResult(NamedTuple):
@@ -110,7 +111,8 @@ def _thr(cfg: MultiHConfig, tau=None, dtype=jnp.float32):
 # stages
 # ---------------------------------------------------------------------------
 
-def _sample_and_solve(key, x1, x2, avail, nbr_idx, nbr_ok, n_samples):
+def _sample_and_solve(key, x1, x2, avail, nbr_idx, nbr_ok, n_samples,
+                      use_pallas=False):
     """One batch of minimal samples (half uniform over `avail`, half
     locality-biased with `nbr_ok` edge preference) -> (Hs, ok)."""
     k_u, k_l = jax.random.split(key)
@@ -122,7 +124,13 @@ def _sample_and_solve(key, x1, x2, avail, nbr_idx, nbr_ok, n_samples):
     idx = jnp.concatenate([idx_u, idx_l], axis=0)  # (S, 4)
     p1 = x1[idx]  # (S, 4, 2)
     p2 = x2[idx]
-    Hs = geometry.homography_4pt_batch_qr(p1, p2)
+    if use_pallas:
+        # SURVEY.md §7 stage 7b: batch-on-lanes Pallas solve — the vmapped
+        # QR pads the 9-wide matrices to 128 lanes and is ~20x slower at
+        # the stress scale (docs/PERF.md)
+        Hs = dlt_kernel.homography_4pt_pallas(p1, p2)
+    else:
+        Hs = geometry.homography_4pt_batch_qr(p1, p2)
     degenerate = geometry.quad_degenerate_batch(p1, 1e-4) | \
         geometry.quad_degenerate_batch(p2, 1e-4)
     uses_pad = jnp.any(avail[idx] == 0, axis=1)
@@ -161,7 +169,8 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         nbr_ok = avail[nbr_idx]
         n_s = s_rem if r == rounds - 1 else s_round
         Hs_r, ok_r = _sample_and_solve(
-            keys[r], x1, x2, avail, nbr_idx, nbr_ok, n_s
+            keys[r], x1, x2, avail, nbr_idx, nbr_ok, n_s,
+            use_pallas=_pallas_enabled(cfg),
         )
         pools.append(Hs_r)
         oks.append(ok_r)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from multih_tpu.ops import geometry
-from multih_tpu.ops.kernels import residual_kernel
+from multih_tpu.ops.kernels import dlt_kernel, residual_kernel
 
 
 def random_hs(rng, s):
@@ -74,6 +74,49 @@ class TestInlierCountKernel:
             hyp_tile=64, pt_tile=512, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(got), 0.0)
+
+    def test_dlt_solve_parity(self, rng):
+        """Pallas batched 4-pt DLT (SURVEY.md §7 stage 7b) vs the vmapped
+        Givens-QR reference: same Hartley normalization, same rotation
+        sequence — entries agree to fp32 rotation-order noise on every
+        non-degenerate quad, including at a non-TILE-multiple batch."""
+        s = dlt_kernel.TILE + 277  # exercises padding
+        p1 = rng.uniform(0, 640, (s, 4, 2)).astype(np.float32)
+        p2 = (p1 * 1.1 + rng.normal(0, 2.0, (s, 4, 2))).astype(np.float32)
+        # a repeated-point degenerate quad: 2-D nullspace, both solvers
+        # return an arbitrary (but finite) vector — excluded from parity,
+        # exactly like the pipeline excludes it via quad_degenerate
+        p1[5, 1] = p1[5, 0]
+        p2[5, 1] = p2[5, 0]
+        j1, j2 = jnp.asarray(p1), jnp.asarray(p2)
+        ref = np.asarray(geometry.homography_4pt_batch_qr(j1, j2))
+        got = np.asarray(
+            dlt_kernel.homography_4pt_pallas(j1, j2, interpret=True)
+        )
+        assert got.shape == (s, 3, 3)
+        assert np.isfinite(got).all()
+        degen = np.asarray(
+            geometry.quad_degenerate_batch(j1, 1e-4)
+            | geometry.quad_degenerate_batch(j2, 1e-4)
+        )
+        err = np.abs(ref - got).max(axis=(1, 2))
+        assert err[~degen].max() < 5e-4, err[~degen].max()
+
+    def test_dlt_solve_maps_sample_points(self, rng):
+        """Kernel homographies actually map their own minimal samples
+        (residual < 1e-2 px on noise-free quads)."""
+        s = 64
+        p1 = rng.uniform(0, 640, (s, 4, 2)).astype(np.float32)
+        H_true = np.asarray(random_hs(rng, s), np.float64)
+        ph = np.concatenate([p1, np.ones((s, 4, 1), np.float32)], axis=2)
+        proj = np.einsum("sab,spb->spa", H_true, ph)
+        p2 = (proj[..., :2] / proj[..., 2:3]).astype(np.float32)
+        got = np.asarray(dlt_kernel.homography_4pt_pallas(
+            jnp.asarray(p1), jnp.asarray(p2), interpret=True
+        ), np.float64)
+        proj2 = np.einsum("sab,spb->spa", got, ph)
+        back = proj2[..., :2] / proj2[..., 2:3]
+        assert np.abs(back - p2).max() < 1e-2
 
     def test_exact_reciprocal_bit_parity(self, rng):
         """approx_rcp=False restores full-precision division: counts match
