@@ -60,6 +60,13 @@ class MultiHConfig:
                                         # k-NN build (memory O(N*block));
                                         # 0 = auto: dense (N,N) for
                                         # N <= 4096, 2048-row blocks above
+    refit_moments: bool = True          # batched weighted DLT refits via
+                                        # the 30-moment matmul formulation
+                                        # (geometry.homography_refit_batch)
+                                        # instead of materializing per-
+                                        # candidate DLT row tensors; False
+                                        # restores the vmapped reference
+                                        # path for parity debugging
     agree_block: int = 256              # block size of the banded neighbor
                                         # agreement operator (PEARL sweeps
                                         # as block-tridiagonal MXU matmuls

@@ -308,7 +308,7 @@ def verify_select_topk(Hs_all, ok, x1, x2, valid, cfg: MultiHConfig,
 
 
 def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
-                 tau=None):
+                 tau=None, basis=None):
     """C12: re-estimate every plane's H from its currently assigned points,
     all planes in one batched weighted DLT.
 
@@ -330,14 +330,25 @@ def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
     tukey = (1.0 - rr) ** 2 * (residuals.T < thr)
     w = member * tukey
 
-    def refit_one(w_l, H_old, sup):
-        H_new = geometry.homography_from_points(
-            x1, x2, w_l, cfg.eig_method, cfg.eig_iterations
-        )
-        return jnp.where(sup >= 4.0, H_new, H_old)
-
     eff_support = jnp.sum((w > 0).astype(x1.dtype), axis=0)
-    Hs_new = jax.vmap(refit_one)(w.T, Hs, eff_support)
+    if cfg.refit_moments:
+        # all K planes in one (K, N) x (N, 30) moment matmul
+        if basis is None:
+            basis = geometry.prepare_refit(x1, x2)
+        Hs_mom = geometry.homography_refit_batch(
+            w.T, basis, cfg.eig_method, cfg.eig_iterations
+        )
+        Hs_new = jnp.where(
+            (eff_support >= 4.0)[:, None, None], Hs_mom, Hs
+        )
+    else:
+        def refit_one(w_l, H_old, sup):
+            H_new = geometry.homography_from_points(
+                x1, x2, w_l, cfg.eig_method, cfg.eig_iterations
+            )
+            return jnp.where(sup >= 4.0, H_new, H_old)
+
+        Hs_new = jax.vmap(refit_one)(w.T, Hs, eff_support)
     return Hs_new, support
 
 
@@ -397,20 +408,34 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int,
     def count(r):
         return jnp.sum((r < thr) * valid[None, :], axis=1)
 
+    basis = geometry.prepare_refit(x1, x2) if cfg.refit_moments else None
+
     def one_round(Hs, mult):
         thr_r = thr * mult
         r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
         rr = jnp.clip(r / thr_r, 0.0, 1.0)
         w = ((1.0 - rr) ** 2 * (r < thr_r)) * valid[None, :]  # (M, N)
-        Hs_new = jax.vmap(
-            lambda wl, hold: jnp.where(
-                jnp.sum((wl > 0).astype(x1.dtype)) >= 4.0,
-                geometry.homography_from_points(
-                    x1, x2, wl, cfg.eig_method, cfg.eig_iterations
+        enough = jnp.sum((w > 0).astype(x1.dtype), axis=1) >= 4.0
+        if cfg.refit_moments:
+            # one (M, N) x (N, 30) moment matmul for the whole batch
+            # instead of materializing (M, N, 2, 9) DLT rows per round
+            Hs_new = jnp.where(
+                enough[:, None, None],
+                geometry.homography_refit_batch(
+                    w, basis, cfg.eig_method, cfg.eig_iterations
                 ),
-                hold,
+                Hs,
             )
-        )(w, Hs)
+        else:
+            Hs_new = jax.vmap(
+                lambda wl, hold: jnp.where(
+                    jnp.sum((wl > 0).astype(x1.dtype)) >= 4.0,
+                    geometry.homography_from_points(
+                        x1, x2, wl, cfg.eig_method, cfg.eig_iterations
+                    ),
+                    hold,
+                )
+            )(w, Hs)
         r_new = geometry.residual_matrix(Hs_new, x1, x2, cfg.residual)
         better = (count(r_new) >= count(r))[:, None, None]
         return jnp.where(better, Hs_new, Hs), None

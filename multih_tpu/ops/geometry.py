@@ -22,6 +22,8 @@ All math is float32; Hartley normalization is mandatory for conditioning.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -353,6 +355,140 @@ homography_4pt_batch_qr = jax.vmap(homography_4pt)
 homography_4pt_batch = jax.vmap(
     homography_from_points, in_axes=(0, 0, None, None, None)
 )
+
+
+# ---------------------------------------------------------------------------
+# moment-based batched weighted refit (C12 at scale)
+# ---------------------------------------------------------------------------
+#
+# The vmapped `homography_from_points` materializes a (C, N, 2, 9) DLT row
+# tensor per refit round (~190 MB at the stress shape) just to reduce it to
+# C 9x9 normal matrices. But the rows factor as Kronecker products —
+# row_x = kron([0,-1,v], [x,y,1]), row_y = kron([1,0,-u], [x,y,1]) — so
+#   A^T W A = sum_n w_n [ (a a^T) (x) (p p^T) + (b b^T) (x) (p p^T) ],
+# and every candidate's normal matrix is a linear combination of THIRTY
+# shared per-point moments  {1,u,v,u^2,v^2} x {1,x,y,x^2,xy,y^2}. The whole
+# batched refit is then ONE (C, N) x (N, 30) MXU matmul plus a per-candidate
+# 9x9 assembly; the weighted Hartley normalization is recovered exactly from
+# the same moments and applied as a Kronecker similarity sandwich. fp32
+# conditioning is preserved by a global (unweighted) similarity pre-
+# normalization, so all accumulated moments are O(1).
+
+
+class RefitBasis(NamedTuple):
+    """Shared per-point refit features (build once per (x1, x2) pair)."""
+
+    feats: jax.Array  # (N, 30) moment features in the global frame
+    T1g: jax.Array    # (3, 3) global similarity on x1 (raw -> global)
+    T2g: jax.Array    # (3, 3) global similarity on x2
+
+
+def _similarity(s, cx, cy, dtype):
+    T = jnp.eye(3, dtype=dtype)
+    return T.at[0, 0].set(s).at[1, 1].set(s) \
+            .at[0, 2].set(-s * cx).at[1, 2].set(-s * cy)
+
+
+def prepare_refit(x1: jax.Array, x2: jax.Array) -> RefitBasis:
+    """(N, 2) x (N, 2) -> moment features for `homography_refit_batch`."""
+    def global_norm(p):
+        mean = jnp.mean(p, axis=0)
+        cen = p - mean
+        rms = jnp.sqrt(jnp.maximum(jnp.mean(jnp.sum(cen**2, -1)), _EPS))
+        s = jnp.sqrt(jnp.asarray(2.0, p.dtype)) / rms
+        return cen * s, _similarity(s, mean[0], mean[1], p.dtype)
+
+    x1g, T1g = global_norm(x1)
+    x2g, T2g = global_norm(x2)
+    x, y = x1g[:, 0], x1g[:, 1]
+    u, v = x2g[:, 0], x2g[:, 1]
+    one = jnp.ones_like(x)
+    m = jnp.stack([one, u, v, u * u, v * v], axis=1)          # (N, 5)
+    p = jnp.stack([one, x, y, x * x, x * y, y * y], axis=1)   # (N, 6)
+    feats = (m[:, :, None] * p[:, None, :]).reshape(-1, 30)
+    return RefitBasis(feats, T1g, T2g)
+
+
+def _refit_from_moments(mom, T1g, T2g, eig_method, eig_iterations):
+    """One candidate's weighted DLT from its (5, 6) moment table. Exactly
+    `homography_from_points`' math (weighted Hartley + A^T W A + smallest
+    eigenvector + denormalization), reassembled from moments."""
+    dtype = mom.dtype
+    wsum = jnp.maximum(mom[0, 0], _EPS)
+    # weighted Hartley parameters of both sides, from the moments
+    c1x, c1y = mom[0, 1] / wsum, mom[0, 2] / wsum
+    rms1 = jnp.sqrt(jnp.maximum(
+        (mom[0, 3] + mom[0, 5]) / wsum - (c1x * c1x + c1y * c1y), _EPS
+    ))
+    s1 = jnp.sqrt(jnp.asarray(2.0, dtype)) / rms1
+    c2x, c2y = mom[1, 0] / wsum, mom[2, 0] / wsum
+    rms2 = jnp.sqrt(jnp.maximum(
+        (mom[3, 0] + mom[4, 0]) / wsum - (c2x * c2x + c2y * c2y), _EPS
+    ))
+    s2 = jnp.sqrt(jnp.asarray(2.0, dtype)) / rms2
+
+    def P(mi):  # second-moment matrix of [x, y, 1] under m-basis row mi
+        return jnp.stack([
+            jnp.stack([mom[mi, 3], mom[mi, 4], mom[mi, 1]]),
+            jnp.stack([mom[mi, 4], mom[mi, 5], mom[mi, 2]]),
+            jnp.stack([mom[mi, 1], mom[mi, 2], mom[mi, 0]]),
+        ])
+
+    P0, Pu, Pv, Pu2, Pv2 = P(0), P(1), P(2), P(3), P(4)
+    Z = jnp.zeros((3, 3), dtype)
+    # Sa = sum w (aa^T (x) pp^T), a = [0,-1,v];  Sb with b = [1,0,-u]
+    Sa = jnp.concatenate([
+        jnp.concatenate([Z, Z, Z], axis=1),
+        jnp.concatenate([Z, P0, -Pv], axis=1),
+        jnp.concatenate([Z, -Pv, Pv2], axis=1),
+    ], axis=0)
+    Sb = jnp.concatenate([
+        jnp.concatenate([P0, Z, -Pu], axis=1),
+        jnp.concatenate([Z, Z, Z], axis=1),
+        jnp.concatenate([-Pu, Z, Pu2], axis=1),
+    ], axis=0)
+    # normalized rows are kron(Ga a, T1c p) / kron(Gb b, T1c p)
+    T1c = _similarity(s1, c1x, c1y, dtype)
+    Ga = jnp.eye(3, dtype=dtype).at[2, 1].set(s2 * c2y).at[2, 2].set(s2)
+    Gb = jnp.eye(3, dtype=dtype).at[2, 0].set(s2 * c2x).at[2, 2].set(s2)
+    Ka = jnp.kron(Ga, T1c)
+    Kb = jnp.kron(Gb, T1c)
+    ata = (
+        jnp.matmul(jnp.matmul(Ka, Sa, precision=_HI), Ka.T, precision=_HI)
+        + jnp.matmul(jnp.matmul(Kb, Sb, precision=_HI), Kb.T,
+                     precision=_HI)
+    )
+    h = smallest_eigvec_9x9(ata, eig_iterations, eig_method)
+    Hg = _denormalize_h(h.reshape(3, 3), _similarity(s1, c1x, c1y, dtype),
+                        _similarity(s2, c2x, c2y, dtype))
+    # compose out of the global frame: H = T2g^-1 Hg T1g
+    sg = T2g[0, 0]
+    T2g_inv = jnp.eye(3, dtype=dtype)
+    T2g_inv = T2g_inv.at[0, 0].set(1.0 / sg).at[1, 1].set(1.0 / sg)
+    T2g_inv = T2g_inv.at[0, 2].set(-T2g[0, 2] / sg) \
+                     .at[1, 2].set(-T2g[1, 2] / sg)
+    H = jnp.matmul(jnp.matmul(T2g_inv, Hg, precision=_HI), T1g,
+                   precision=_HI)
+    H = H / jnp.maximum(jnp.linalg.norm(H), _EPS)
+    return H * jnp.where(H[2, 2] < 0, -1.0, 1.0)
+
+
+def homography_refit_batch(
+    weights: jax.Array,
+    basis: RefitBasis,
+    eig_method: str = "jacobi",
+    eig_iterations: int = 8,
+) -> jax.Array:
+    """Weighted DLT refit of C candidates in one matmul: (C, N) weights ->
+    (C, 3, 3). Equals vmapped `homography_from_points(x1, x2, w)` up to
+    fp32 summation order (parity-tested)."""
+    mom = jnp.matmul(weights, basis.feats, precision=_HI)  # (C, 30)
+    return jax.vmap(
+        lambda mm: _refit_from_moments(
+            mm.reshape(5, 6), basis.T1g, basis.T2g,
+            eig_method, eig_iterations,
+        )
+    )(mom)
 
 
 def quad_degenerate(x1: jax.Array, eps: float = 1e-6) -> jax.Array:

@@ -205,3 +205,48 @@ class TestHelpers:
         ph = np.concatenate([pts, np.ones((80, 1))], 1)
         mapped = ph @ np.asarray(T).T
         np.testing.assert_allclose(mapped[:, :2], pn, atol=1e-3)
+
+
+class TestMomentRefit:
+    """The 30-moment batched refit (geometry.homography_refit_batch) must
+    reproduce the vmapped homography_from_points reference: same weighted
+    Hartley normalization, same A^T W A, up to fp32 summation order."""
+
+    def test_matches_vmapped_reference(self, rng):
+        import jax
+
+        n, c = 1024, 12
+        x1 = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        H_true = np.eye(3) + rng.normal(0, 0.05, (3, 3))
+        H_true[2, :2] = rng.normal(0, 1e-4, 2)
+        ph = np.concatenate([x1, np.ones((n, 1))], axis=1)
+        proj = ph @ H_true.T
+        x2 = (proj[:, :2] / proj[:, 2:3]
+              + rng.normal(0, 0.5, (n, 2))).astype(np.float32)
+        w = ((rng.uniform(size=(c, n)) > 0.6)
+             * rng.uniform(0.1, 1.0, (c, n))).astype(np.float32)
+        j1, j2, jw = map(jnp.asarray, (x1, x2, w))
+        ref = np.asarray(jax.vmap(
+            lambda wl: geometry.homography_from_points(
+                j1, j2, wl, "jacobi", 8)
+        )(jw))
+        basis = geometry.prepare_refit(j1, j2)
+        got = np.asarray(
+            geometry.homography_refit_batch(jw, basis, "jacobi", 8)
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_zero_and_tiny_weights_finite(self, rng):
+        """Candidates with no (or <4) supporting points must stay finite —
+        callers gate on support, but NaNs would poison jnp.where."""
+        n = 256
+        x1 = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        x2 = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+        w = np.zeros((3, n), np.float32)
+        w[1, :2] = 1.0
+        basis = geometry.prepare_refit(jnp.asarray(x1), jnp.asarray(x2))
+        got = np.asarray(geometry.homography_refit_batch(
+            jnp.asarray(w), basis, "jacobi", 8
+        ))
+        assert np.isfinite(got).all()
