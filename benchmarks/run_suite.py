@@ -37,7 +37,8 @@ def run_batched(args, scenes):
     n_max = max(cs.n_points for cs in css)
     n_pad = 1 << max(6, (n_max - 1).bit_length())
     cfg = multih_tpu.MultiHConfig(
-        max_points=n_pad, n_hypotheses=args.hypotheses
+        max_points=n_pad, n_hypotheses=args.hypotheses,
+        use_pallas=not args.no_pallas,
     )
     mesh = sharding.make_mesh()
     # upload once: per-call host->device transfer dominates wall time on
@@ -87,6 +88,7 @@ def run_per_pair(args, scenes):
         cfg = multih_tpu.MultiHConfig(
             inlier_threshold=tau, max_points=n_pad,
             n_hypotheses=args.hypotheses,
+            use_pallas=not args.no_pallas,
         )
         x1, x2, valid, gt = multih_tpu.pad_points(
             cs.x1, cs.x2, cs.gt_labels, cfg.max_points
@@ -125,6 +127,9 @@ def main():
     ap.add_argument("--adaptive", action="store_true",
                     help="use fit_adaptive (auto-tau) instead of the "
                          "per-scene noise-derived threshold")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the Pallas kernels (jnp reference "
+                         "paths) for numerics A/B debugging")
     ap.add_argument("--per-pair", action="store_true",
                     help="old loop: one compile + one call per scene "
                          "(debugging individual scenes)")

@@ -336,7 +336,8 @@ def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
         if basis is None:
             basis = geometry.prepare_refit(x1, x2)
         Hs_mom = geometry.homography_refit_batch(
-            w.T, basis, cfg.eig_method, cfg.eig_iterations
+            w.T, basis, cfg.eig_method, cfg.eig_iterations,
+            eig_pallas=_pallas_enabled(cfg),
         )
         Hs_new = jnp.where(
             (eff_support >= 4.0)[:, None, None], Hs_mom, Hs
@@ -422,7 +423,8 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int,
             Hs_new = jnp.where(
                 enough[:, None, None],
                 geometry.homography_refit_batch(
-                    w, basis, cfg.eig_method, cfg.eig_iterations
+                    w, basis, cfg.eig_method, cfg.eig_iterations,
+                    eig_pallas=_pallas_enabled(cfg),
                 ),
                 Hs,
             )

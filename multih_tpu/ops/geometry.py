@@ -409,10 +409,10 @@ def prepare_refit(x1: jax.Array, x2: jax.Array) -> RefitBasis:
     return RefitBasis(feats, T1g, T2g)
 
 
-def _refit_from_moments(mom, T1g, T2g, eig_method, eig_iterations):
-    """One candidate's weighted DLT from its (5, 6) moment table. Exactly
-    `homography_from_points`' math (weighted Hartley + A^T W A + smallest
-    eigenvector + denormalization), reassembled from moments."""
+def _moments_to_ata(mom):
+    """One candidate's normalized-DLT normal matrix from its (5, 6)
+    moment table: (9, 9) ata plus the Hartley similarity parameters
+    (s1, c1x, c1y, s2, c2x, c2y) needed to denormalize the solution."""
     dtype = mom.dtype
     wsum = jnp.maximum(mom[0, 0], _EPS)
     # weighted Hartley parameters of both sides, from the moments
@@ -458,7 +458,14 @@ def _refit_from_moments(mom, T1g, T2g, eig_method, eig_iterations):
         + jnp.matmul(jnp.matmul(Kb, Sb, precision=_HI), Kb.T,
                      precision=_HI)
     )
-    h = smallest_eigvec_9x9(ata, eig_iterations, eig_method)
+    return ata, (s1, c1x, c1y, s2, c2x, c2y)
+
+
+def _h_from_nullvec(h, params, T1g, T2g):
+    """Denormalize one candidate's unit nullspace vector back through the
+    per-candidate Hartley similarities and the global pre-normalization."""
+    s1, c1x, c1y, s2, c2x, c2y = params
+    dtype = h.dtype
     Hg = _denormalize_h(h.reshape(3, 3), _similarity(s1, c1x, c1y, dtype),
                         _similarity(s2, c2x, c2y, dtype))
     # compose out of the global frame: H = T2g^-1 Hg T1g
@@ -478,17 +485,31 @@ def homography_refit_batch(
     basis: RefitBasis,
     eig_method: str = "jacobi",
     eig_iterations: int = 8,
+    eig_pallas: bool = False,
 ) -> jax.Array:
     """Weighted DLT refit of C candidates in one matmul: (C, N) weights ->
     (C, 3, 3). Equals vmapped `homography_from_points(x1, x2, w)` up to
-    fp32 summation order (parity-tested)."""
+    fp32 summation order (parity-tested).
+
+    With eig_pallas the 9x9 eigensolve runs through the batch-on-lanes
+    Pallas Jacobi kernel (ops/kernels/eig_kernel.py) instead of the
+    vmapped per-candidate solver — same rotations, ~20x fewer
+    instructions at C >= 256 (docs/PERF.md)."""
     mom = jnp.matmul(weights, basis.feats, precision=_HI)  # (C, 30)
-    return jax.vmap(
-        lambda mm: _refit_from_moments(
-            mm.reshape(5, 6), basis.T1g, basis.T2g,
-            eig_method, eig_iterations,
-        )
+    atas, params = jax.vmap(
+        lambda mm: _moments_to_ata(mm.reshape(5, 6))
     )(mom)
+    if eig_pallas:
+        from multih_tpu.ops.kernels import eig_kernel
+
+        hs = eig_kernel.smallest_eigvec_9x9_batch(atas)  # (C, 9)
+    else:
+        hs = jax.vmap(
+            lambda a: smallest_eigvec_9x9(a, eig_iterations, eig_method)
+        )(atas)
+    return jax.vmap(
+        lambda h, pr: _h_from_nullvec(h, pr, basis.T1g, basis.T2g)
+    )(hs, params)
 
 
 def quad_degenerate(x1: jax.Array, eps: float = 1e-6) -> jax.Array:

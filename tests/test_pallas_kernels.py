@@ -118,6 +118,40 @@ class TestInlierCountKernel:
         back = proj2[..., :2] / proj2[..., 2:3]
         assert np.abs(back - p2).max() < 1e-2
 
+    def test_eig_kernel_parity(self, rng):
+        """Batch-on-lanes Jacobi eig (trig-free rotations) vs the
+        arctan2-based per-candidate reference. The unrolled kernel is too
+        large for interpret mode at full sweeps, so the identical shared
+        computation (`jacobi_smallest_column`) is verified through XLA,
+        plus a 1-sweep interpret smoke proving kernel==shared-math."""
+        from multih_tpu.ops.kernels import eig_kernel
+
+        c = 96
+        atas = []
+        for _ in range(c):
+            x1 = rng.uniform(-1, 1, (12, 2)).astype(np.float32)
+            H = np.eye(3) + rng.normal(0, 0.1, (3, 3))
+            ph = np.concatenate([x1, np.ones((12, 1))], 1)
+            pr = ph @ H.T
+            x2 = (pr[:, :2] / pr[:, 2:3]
+                  + rng.normal(0, 0.01, (12, 2))).astype(np.float32)
+            atas.append(np.asarray(geometry.dlt_normal_matrix(
+                jnp.asarray(x1), jnp.asarray(x2))))
+        ja = jnp.asarray(np.stack(atas))
+        ref = np.asarray(jax.vmap(
+            lambda a: geometry.smallest_eigvec_9x9(a, 8, "jacobi")
+        )(ja))
+        got = np.asarray(eig_kernel.smallest_eigvec_9x9_batch_jnp(ja, 6))
+        sign = np.sign(np.sum(ref * got, axis=1, keepdims=True))
+        assert np.abs(ref - got * sign).max() < 5e-3
+        # interpret smoke (one tile, one sweep): kernel == shared math
+        gi = np.asarray(eig_kernel.smallest_eigvec_9x9_batch(
+            ja[:4], sweeps=1, interpret=True))
+        gj = np.asarray(eig_kernel.smallest_eigvec_9x9_batch_jnp(
+            ja[:4], sweeps=1))
+        sign = np.sign(np.sum(gi * gj, axis=1, keepdims=True))
+        np.testing.assert_allclose(gi, gj * sign, atol=1e-5)
+
     def test_exact_reciprocal_bit_parity(self, rng):
         """approx_rcp=False restores full-precision division: counts match
         the jnp reference exactly (no boundary-tie tolerance)."""
