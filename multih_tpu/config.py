@@ -60,6 +60,13 @@ class MultiHConfig:
                                         # k-NN build (memory O(N*block));
                                         # 0 = auto: dense (N,N) for
                                         # N <= 4096, 2048-row blocks above
+    knn_approx: bool = True             # lax.approx_max_k (recall 0.98,
+                                        # TPU-native) instead of exact
+                                        # top_k in the k-NN builds; the
+                                        # graph only shapes sampling
+                                        # locality + Potts smoothing, and
+                                        # approx_max_k is exact on CPU,
+                                        # so tests/goldens are unaffected
     refit_moments: bool = True          # batched weighted DLT refits via
                                         # the 30-moment matmul formulation
                                         # (geometry.homography_refit_batch)

@@ -31,7 +31,8 @@ _HI = jax.lax.Precision.HIGHEST  # fp32 matmuls (TPU defaults to bf16)
 # k-NN neighborhood graph (reference C8: Delaunay/k-NN over keypoints)
 # ---------------------------------------------------------------------------
 
-def knn_graph(pts: jax.Array, valid: jax.Array, k: int, row_block: int = 0):
+def knn_graph(pts: jax.Array, valid: jax.Array, k: int, row_block: int = 0,
+              approx: bool = False):
     """Spatial k-NN over the first-image keypoint positions.
 
     Distances via the |a-b|^2 = |a|^2 + |b|^2 - 2ab matmul identity (MXU),
@@ -43,6 +44,13 @@ def knn_graph(pts: jax.Array, valid: jax.Array, k: int, row_block: int = 0):
     N <= 4096 (one matmul, fastest), 2048-row blocks above. Padded points
     never appear as neighbors; their own rows are harmless self-loops with
     zero weight.
+
+    With `approx`, the exact `top_k` is replaced by the TPU-native
+    `lax.approx_max_k` (recall target 0.98): the k-NN graph only shapes
+    sampling locality and Potts smoothing, so a ~2% chance of picking the
+    (k+1)-th-nearest instead of the k-th is invisible in the energy —
+    but the sort is several times faster at stress N (docs/PERF.md).
+    CPU tests keep the exact path (approx_max_k is exact on CPU anyway).
 
     Returns (nbr_idx (N, k) int32, nbr_w (N, k) float): neighbor indices and
     {0,1} edge weights (0 for edges into padding or from padding).
@@ -67,7 +75,12 @@ def knn_graph(pts: jax.Array, valid: jax.Array, k: int, row_block: int = 0):
         )
         d2 = d2 + col_pen[None, :]
         d2 = d2 + big * (i_blk[:, None] == col_idx[None, :]).astype(d2.dtype)
-        neg_d2, idx = jax.lax.top_k(-d2, k)
+        if approx:
+            neg_d2, idx = jax.lax.approx_max_k(
+                -d2, k, recall_target=0.98
+            )
+        else:
+            neg_d2, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), (-neg_d2 < big * 0.5).astype(pts.dtype)
 
     if row_block >= n:
@@ -130,7 +143,13 @@ class BandedAdjacency(NamedTuple):
         return self.band.shape[1]
 
     def agree(self, p: jax.Array) -> jax.Array:
-        """agree[i] = sum_j w_sym_ij p[j]; p is (N, L). Returns (N, L)."""
+        """agree[i] = sum_j w_sym_ij p[j]; p is (N, L). Returns (N, L).
+
+        The band is stored bf16 (exact for the {0, 0.5, 1} symmetrized
+        unit weights — see build_banded_adjacency) and upcast in-register
+        at the matmul: each agree call is memory-bound on the band read
+        (the traced profile shows ~300 GB/s sustained), so halving the
+        bytes halves the dominant PEARL cost with bit-identical results."""
         nb, b, _ = self.band.shape
         l = p.shape[1]
         pb = p.reshape(nb, b, l)
@@ -138,10 +157,35 @@ class BandedAdjacency(NamedTuple):
             [jnp.roll(pb, 1, axis=0), pb, jnp.roll(pb, -1, axis=0)], axis=1
         )  # (nb, 3B, L); wrap rows hit only zero band entries
         out = jnp.einsum(
-            "nbc,ncl->nbl", self.band, win, precision=_HI
+            "nbc,ncl->nbl", self.band.astype(p.dtype), win, precision=_HI
         ).reshape(-1, l)
         contrib = p[self.far_in] * self.far_w[:, None]
         return out.at[self.far_out].add(contrib)
+
+    def agree_t(self, p_t: jax.Array) -> jax.Array:
+        """Label-major agreement: p_t is (L, N), returns (L, N).
+
+        The hot layout. (N, L) arrays pad the L≈17 label axis to 128
+        lanes, so every sweep in that layout moves ~7.5x its logical
+        bytes; label-major puts points on lanes (no padding) and labels
+        on sublanes (17 -> 24, 1.4x). Measured effect is bounded by the
+        far-edge fixup and per-op overheads (~15% per sweep, docs/PERF.md
+        A/B) — the layout matters most for the elementwise (L, N) chains
+        around the agreement. Same math as `agree` (one transpose of this
+        function's result IS `agree`'s result; parity-tested)."""
+        nb, b, _ = self.band.shape
+        l = p_t.shape[0]
+        pb = p_t.reshape(l, nb, b)
+        win = jnp.concatenate(
+            [jnp.roll(pb, 1, axis=1), pb, jnp.roll(pb, -1, axis=1)],
+            axis=2,
+        )  # (L, nb, 3B); wrap rows hit only zero band entries
+        out = jnp.einsum(
+            "nbc,lnc->lnb", self.band.astype(p_t.dtype), win,
+            precision=_HI,
+        ).reshape(l, -1)
+        contrib = p_t[:, self.far_in] * self.far_w[None, :]
+        return out.at[:, self.far_out].add(contrib)
 
 
 def build_banded_adjacency(
@@ -149,6 +193,7 @@ def build_banded_adjacency(
     nbr_w: jax.Array,
     block: int = 256,
     far_capacity: int | None = None,
+    band_dtype=jnp.bfloat16,
 ) -> BandedAdjacency:
     """One-time (per fit) restructuring of the directed k-NN graph into
     the banded symmetric operator. N must be a multiple of `block`.
@@ -156,15 +201,26 @@ def build_banded_adjacency(
     Each directed edge (i, j, w) contributes 0.5*w to both (i<-j) and
     (j<-i) — exactly `_neighbor_agreement`'s 0.5*(direct+reverse)
     convention. Edges whose endpoints lie in non-adjacent blocks go to the
-    sparse far list (capacity `far_capacity`; the default N covers the
-    measured Morton-ordered worst case — ~0.5N at stress scale — with 2x
-    margin; overflow is counted in `n_dropped`, never silently absorbed
-    into wrong band slots)."""
+    sparse far list (capacity `far_capacity`; the default 2N covers the
+    measured Morton-ordered worst case at block=128 — ~0.65N at stress
+    scale — with 3x margin; overflow is counted in `n_dropped`, never
+    silently absorbed into wrong band slots).
+
+    The band is stored at `band_dtype` (default bf16): accumulation and
+    the degree run f32, and with the graph's unit edge weights every
+    symmetrized band value is in {0, 0.5, 1.0} — exactly representable,
+    so the cast loses nothing while halving the operator's memory
+    traffic. Pass float32 for graphs with arbitrary float weights."""
     n, k = nbr_idx.shape
     assert n % block == 0, (n, block)
     nb = n // block
     if far_capacity is None:
-        far_capacity = max(block, n)
+        # measured worst case at block=256 on Morton-ordered stress data is
+        # ~0.45N (A/B in docs/PERF.md); the fixup's gather/scatter cost is
+        # proportional to capacity, so the margin is deliberately 1.7x, not
+        # "all edges could be far" — overflow is counted, tested against,
+        # and the gather fallback (adj=None) remains for arbitrary orders
+        far_capacity = max(block, (3 * n) // 4)
 
     i_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     j_idx = nbr_idx.reshape(-1).astype(jnp.int32)
@@ -201,8 +257,8 @@ def build_banded_adjacency(
     deg = band.sum(axis=2).reshape(n)
     deg = deg.at[far_out].add(far_w)
     return BandedAdjacency(
-        band=band, far_out=far_out, far_in=far_in, far_w=far_w,
-        deg=deg[:, None], n_dropped=n_dropped,
+        band=band.astype(band_dtype), far_out=far_out, far_in=far_in,
+        far_w=far_w, deg=deg[:, None], n_dropped=n_dropped,
     )
 
 
@@ -312,6 +368,18 @@ def _agree_and_deg(nbr_idx, nbr_w, adj: BandedAdjacency | None, dtype):
         _degree(nbr_idx, nbr_w, dtype),
     )
 
+
+def _agree_and_deg_t(nbr_idx, nbr_w, adj: BandedAdjacency | None, dtype):
+    """Label-major (L, N) variant: deg comes back as (1, N) and the
+    fallback path transposes around the N-major reference gather."""
+    if adj is not None:
+        return adj.agree_t, adj.deg.T
+    deg = _degree(nbr_idx, nbr_w, dtype)
+    return (
+        lambda p_t: _neighbor_agreement(p_t.T, nbr_idx, nbr_w).T,
+        deg.T,
+    )
+
 def mean_field(
     dcost: jax.Array,
     nbr_idx: jax.Array,
@@ -334,11 +402,14 @@ def mean_field(
     Returns q: (N, L) marginals.
     """
     n, l = dcost.shape
+    # hot loop runs label-major (L, N): points on lanes, labels on
+    # sublanes — see BandedAdjacency.agree_t
+    dct = dcost.T
 
     if q_init is None:
-        q = jax.nn.softmax(-dcost, axis=1)
+        q = jax.nn.softmax(-dct, axis=0)
     else:
-        q = q_init
+        q = q_init.T
 
     if iterations <= 1:
         temps = jnp.full((max(iterations, 1),), temp_end, dcost.dtype)
@@ -346,17 +417,17 @@ def mean_field(
         ratio = (temp_end / temp_start) ** (1.0 / (iterations - 1))
         temps = temp_start * ratio ** jnp.arange(iterations, dtype=dcost.dtype)
 
-    agree_fn, deg = _agree_and_deg(nbr_idx, nbr_w, adj, dcost.dtype)
+    agree_fn, deg = _agree_and_deg_t(nbr_idx, nbr_w, adj, dcost.dtype)
 
     def body(q, temp):
-        agree = agree_fn(q)  # (N, L)
+        agree = agree_fn(q)  # (L, N)
         # pairwise expected cost of choosing l: lambda * (deg - agreement)
         pair = spatial_weight * (deg - agree)
-        q_new = jax.nn.softmax(-(dcost + pair) / temp, axis=1)
+        q_new = jax.nn.softmax(-(dct + pair) / temp, axis=0)
         return q_new, None
 
     q, _ = jax.lax.scan(body, q, temps)
-    return q
+    return q.T
 
 
 def icm(
@@ -375,16 +446,19 @@ def icm(
     alpha-expansion's move cycling); half-sweeps with an improvement gate
     break the flip-flops while staying branch-free and vmappable."""
     n, l = dcost.shape
-    agree_fn, deg = _agree_and_deg(nbr_idx, nbr_w, adj, dcost.dtype)
+    # label-major hot loop, as in mean_field
+    dct = dcost.T  # (L, N)
+    agree_fn, deg = _agree_and_deg_t(nbr_idx, nbr_w, adj, dcost.dtype)
     parity = jnp.arange(n) % 2
+    lab_ids = jnp.arange(l, dtype=labels.dtype)[:, None]  # (L, 1)
 
     def half(labels, par):
-        onehot = jax.nn.one_hot(labels, l, dtype=dcost.dtype)  # (N, L)
+        onehot = (labels[None, :] == lab_ids).astype(dcost.dtype)  # (L,N)
         agree = agree_fn(onehot)
-        cost = dcost + spatial_weight * (deg - agree)
-        new = jnp.argmin(cost, axis=1)
-        cur_c = jnp.take_along_axis(cost, labels[:, None], axis=1)[:, 0]
-        new_c = jnp.take_along_axis(cost, new[:, None], axis=1)[:, 0]
+        cost = dct + spatial_weight * (deg - agree)  # (L, N)
+        new = jnp.argmin(cost, axis=0)
+        cur_c = jnp.take_along_axis(cost, labels[None, :], axis=0)[0]
+        new_c = jnp.min(cost, axis=0)
         move = (new_c < cur_c - 1e-6) & (parity == par)
         return jnp.where(move, new, labels)
 
@@ -401,10 +475,10 @@ def icm(
     # one if it beats the current state (alpha-expansion finds these moves
     # through maxflow; here they are a closed form).
     e_cur = (
-        jnp.sum(jnp.take_along_axis(dcost, labels[:, None], 1)[:, 0])
+        jnp.sum(jnp.take_along_axis(dct, labels[None, :], 0)[0])
         + spatial_weight * _potts(labels, nbr_idx, nbr_w, adj, dcost)
     )
-    e_const = jnp.sum(dcost, axis=0)  # (L,)
+    e_const = jnp.sum(dct, axis=1)  # (L,)
     best = jnp.argmin(e_const)
     return jnp.where(
         e_const[best] < e_cur, jnp.full_like(labels, best), labels
@@ -415,13 +489,14 @@ def _potts(labels, nbr_idx, nbr_w, adj: BandedAdjacency | None, dcost):
     """Potts energy through the active agreement operator: with a banded
     adjacency,  0.5 * sum_i (deg_i - agree_onehot[i, l_i])  — identical to
     the directed-edge sum (each undirected pair contributes w from both
-    ordered directions, halved)."""
+    ordered directions, halved). Label-major layout (agree_t)."""
     if adj is None:
         return potts_energy(labels, nbr_idx, nbr_w)
-    onehot = jax.nn.one_hot(labels, dcost.shape[1], dtype=dcost.dtype)
+    lab_ids = jnp.arange(dcost.shape[1], dtype=labels.dtype)[:, None]
+    onehot = (labels[None, :] == lab_ids).astype(dcost.dtype)  # (L, N)
     own = jnp.take_along_axis(
-        adj.agree(onehot), labels[:, None], axis=1
-    )[:, 0]
+        adj.agree_t(onehot), labels[None, :], axis=0
+    )[0]
     return 0.5 * jnp.sum(adj.deg[:, 0] - own)
 
 

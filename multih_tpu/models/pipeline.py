@@ -586,7 +586,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # C8: spatial neighborhood (the Potts smoothness graph)
     with jax.named_scope("knn_graph"):
         nbr_idx, nbr_w = labeling.knn_graph(
-            x1, valid, cfg.knn_k, cfg.knn_row_block
+            x1, valid, cfg.knn_k, cfg.knn_row_block, cfg.knn_approx
         )
     # banded agreement operator: with Morton-ordered points, ~96% of k-NN
     # edges connect near indices, so every PEARL sweep becomes a block-
@@ -613,7 +613,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         )
         with jax.named_scope("sampling_knn"):
             nbr_sample, _ = labeling.knn_graph(
-                feat, valid, cfg.knn_k, cfg.knn_row_block
+                feat, valid, cfg.knn_k, cfg.knn_row_block, cfg.knn_approx
             )
     else:
         nbr_sample = nbr_idx

@@ -242,13 +242,19 @@ class TestBandedAdjacency:
         x1, x2, valid = map(
             jnp.asarray, multih_tpu.pad_points(cs.x1, cs.x2, None, 10240)
         )
+        import multih_tpu as mh
+
         perm = pipeline.morton_order(x1, valid)
         nbr_idx, nbr_w = labeling.knn_graph(x1[perm], valid[perm], 6)
-        adj = labeling.build_banded_adjacency(nbr_idx, nbr_w, block=256)
+        adj = labeling.build_banded_adjacency(
+            nbr_idx, nbr_w, block=mh.MultiHConfig().agree_block
+        )
         n_far = int(jnp.sum(adj.far_w > 0))
         assert int(adj.n_dropped) == 0, int(adj.n_dropped)
-        assert n_far <= adj.far_out.shape[0] // 2, (
-            "far capacity margin below 2x", n_far
+        # capacity is sized for ~1.7x the measured worst case (the fixup
+        # cost is proportional to capacity — see build_banded_adjacency)
+        assert n_far <= int(0.6 * adj.far_out.shape[0]), (
+            "far capacity margin below 1.7x", n_far, adj.far_out.shape[0]
         )
 
     def test_mean_field_icm_energy_parity(self, rng):
