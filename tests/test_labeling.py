@@ -257,6 +257,39 @@ class TestBandedAdjacency:
             "far capacity margin below 1.7x", n_far, adj.far_out.shape[0]
         )
 
+    def test_batched_restarts_match_sequential(self, rng):
+        """best_labeling's banded path batches all restarts through shared
+        band reads — per-start results must equal the sequential icm path
+        exactly (same math, rows independent)."""
+        import jax.numpy as jnp
+
+        n, l = 512, 6
+        (nbr_idx, nbr_w), valid = self._graph(rng, n)
+        adj = labeling.build_banded_adjacency(nbr_idx, nbr_w, block=128)
+        dcost = jnp.asarray(rng.uniform(0, 1, (n, l)).astype(np.float32))
+        s0 = jnp.argmin(dcost, axis=1)
+        s1 = jnp.asarray(rng.integers(0, l, n).astype(np.int32))
+        batched = labeling._icm_batch(
+            jnp.stack([s0, s1]), dcost, 0.3, 4, adj
+        )
+        for i, s in enumerate([s0, s1]):
+            seq = labeling.icm(s, dcost, nbr_idx, nbr_w, 0.3, 4, adj=adj)
+            np.testing.assert_array_equal(
+                np.asarray(batched[i]), np.asarray(seq), err_msg=str(i)
+            )
+        # the full selector picks the same winner either way
+        win = labeling.best_labeling(
+            [s0, s1], dcost, nbr_idx, nbr_w, 0.3, 4, adj=adj
+        )
+        e = [float(labeling.mrf_energy(
+            labeling.icm(s, dcost, nbr_idx, nbr_w, 0.3, 4, adj=adj),
+            dcost, nbr_idx, nbr_w, 0.3, adj=adj)) for s in [s0, s1]]
+        seq_win = labeling.icm(
+            [s0, s1][int(np.argmin(e))], dcost, nbr_idx, nbr_w, 0.3, 4,
+            adj=adj,
+        )
+        np.testing.assert_array_equal(np.asarray(win), np.asarray(seq_win))
+
     def test_mean_field_icm_energy_parity(self, rng):
         """Full sweeps through the banded operator agree with the gather
         path (same labels, same energies)."""
