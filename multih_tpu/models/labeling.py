@@ -530,16 +530,23 @@ def _icm_batch(starts: jax.Array, dcost, spatial_weight, iterations,
     parity = jnp.arange(n) % 2
     lab_ids = jnp.arange(l, dtype=starts.dtype)[None, :, None]  # (1,L,1)
 
-    def stacked_cost(labels):
+    def half(labels, par):
         onehot = (labels[:, None, :] == lab_ids).astype(dcost.dtype)
         agree = adj.agree_t(onehot.reshape(s * l, n)).reshape(s, l, n)
-        return dct[None] + spatial_weight * (deg[None] - agree)  # (S,L,N)
-
-    def half(labels, par):
-        cost = stacked_cost(labels)
-        new = jnp.argmin(cost, axis=1)  # (S, N)
-        cur_c = jnp.take_along_axis(cost, labels[:, None, :], axis=1)[:, 0]
-        new_c = jnp.min(cost, axis=1)
+        cost = dct[None] + spatial_weight * (deg[None] - agree)  # (S,L,N)
+        # argmin over the label axis, unrolled: jnp.argmin on the middle
+        # axis of (S, L, N) lowers to an iota-reduce measured at
+        # 0.59 ms/call (a third of the PEARL loop, docs/PERF.md); L is a
+        # small static constant, so a compare-select chain of (S, N)
+        # passes is ~30x cheaper. Strict < keeps first-minimum tie
+        # semantics identical to jnp.argmin.
+        new_c = cost[:, 0]
+        new = jnp.zeros_like(labels)
+        for lab in range(1, l):
+            take = cost[:, lab] < new_c
+            new_c = jnp.where(take, cost[:, lab], new_c)
+            new = jnp.where(take, jnp.asarray(lab, labels.dtype), new)
+        cur_c = jnp.sum(onehot * cost, axis=1)  # one-hot pick, no gather
         move = (new_c < cur_c - 1e-6) & (parity[None, :] == par)
         return jnp.where(move, new, labels)
 
