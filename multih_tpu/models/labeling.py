@@ -494,9 +494,9 @@ def _potts(labels, nbr_idx, nbr_w, adj: BandedAdjacency | None, dcost):
         return potts_energy(labels, nbr_idx, nbr_w)
     lab_ids = jnp.arange(dcost.shape[1], dtype=labels.dtype)[:, None]
     onehot = (labels[None, :] == lab_ids).astype(dcost.dtype)  # (L, N)
-    own = jnp.take_along_axis(
-        adj.agree_t(onehot), labels[None, :], axis=0
-    )[0]
+    # one-hot contraction, not take_along_axis (traced: the gather along
+    # the label axis costs ~10x the contraction)
+    own = jnp.sum(onehot * adj.agree_t(onehot), axis=0)
     return 0.5 * jnp.sum(adj.deg[:, 0] - own)
 
 
@@ -558,9 +558,7 @@ def _icm_batch(starts: jax.Array, dcost, spatial_weight, iterations,
     labels = jax.lax.fori_loop(0, iterations, body, starts)
 
     # constant-labeling escape, batched (see `icm` for rationale)
-    e_cur = _data_energy_batch(labels, dct) + spatial_weight * _potts_batch(
-        labels, adj, l
-    )
+    e_cur = _energies_batch(labels, dct, adj, spatial_weight)
     e_const = jnp.sum(dct, axis=1)  # (L,)
     best = jnp.argmin(e_const)
     return jnp.where(
@@ -569,24 +567,20 @@ def _icm_batch(starts: jax.Array, dcost, spatial_weight, iterations,
     )
 
 
-def _data_energy_batch(labels, dct):
-    """(S, N) labelings x (L, N) costs -> (S,) data energies."""
-    s = labels.shape[0]
-    picked = jnp.take_along_axis(
-        jnp.broadcast_to(dct[None], (s,) + dct.shape),
-        labels[:, None, :], axis=1,
-    )[:, 0]
-    return jnp.sum(picked, axis=1)
-
-
-def _potts_batch(labels, adj: BandedAdjacency, l):
-    """(S, N) labelings -> (S,) Potts energies through one operator call."""
+def _energies_batch(labels, dct, adj: BandedAdjacency, spatial_weight):
+    """(S, N) labelings -> (S,) data + lambda*Potts energies, one one-hot
+    and one operator call for everything. Label picks go through one-hot
+    contractions, never take_along_axis: a gather along the middle axis
+    of (S, L, N) costs ~0.26 ms on TPU (traced), the contraction ~0.02."""
     s, n = labels.shape
+    l = dct.shape[0]
     lab_ids = jnp.arange(l, dtype=labels.dtype)[None, :, None]
-    onehot = (labels[:, None, :] == lab_ids).astype(adj.deg.dtype)
+    onehot = (labels[:, None, :] == lab_ids).astype(dct.dtype)  # (S,L,N)
+    e_data = jnp.sum(onehot * dct[None], axis=(1, 2))
     agree = adj.agree_t(onehot.reshape(s * l, n)).reshape(s, l, n)
-    own = jnp.take_along_axis(agree, labels[:, None, :], axis=1)[:, 0]
-    return 0.5 * jnp.sum(adj.deg[None, :, 0] - own, axis=1)
+    own = jnp.sum(onehot * agree, axis=1)  # (S, N)
+    e_potts = 0.5 * jnp.sum(adj.deg[None, :, 0] - own, axis=1)
+    return e_data + spatial_weight * e_potts
 
 
 def best_labeling(
@@ -613,9 +607,9 @@ def best_labeling(
         polished = _icm_batch(
             stacked, dcost, spatial_weight, icm_iterations, adj
         )
-        energies = _data_energy_batch(
-            polished, dcost.T
-        ) + spatial_weight * _potts_batch(polished, adj, dcost.shape[1])
+        energies = _energies_batch(
+            polished, dcost.T, adj, spatial_weight
+        )
         return polished[jnp.argmin(energies)]
     polished = [
         icm(s, dcost, nbr_idx, nbr_w, spatial_weight, icm_iterations,
