@@ -60,6 +60,11 @@ class MultiHConfig:
                                         # k-NN build (memory O(N*block));
                                         # 0 = auto: dense (N,N) for
                                         # N <= 4096, 2048-row blocks above
+    claim_subsample: int = 4            # stride for the progressive-round
+                                        # claim ranking counts (argmax
+                                        # selection only — claim masks
+                                        # and all verification stay
+                                        # full-resolution); 1 = off
     knn_approx: bool = True             # lax.approx_max_k (recall 0.98,
                                         # TPU-native) instead of exact
                                         # top_k in the k-NN builds; the

@@ -177,8 +177,17 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         if r == rounds - 1:
             break
         # claim: LO-grow the round's best hypothesis (by inliers among
-        # unclaimed points), then mark its tau-inliers claimed
-        counts_av = count_inliers(Hs_r, x1, x2, avail, cfg, tau) * ok_r
+        # unclaimed points), then mark its tau-inliers claimed. The count
+        # here only picks an argmax over the round's pool, so it runs on
+        # a strided Morton subsample (spatially uniform after the fit's
+        # spatial sort) — the best plane leads by hundreds of inliers and
+        # the ranking survives 4x subsampling, while the full-pool sweep
+        # was ~17% of the stress fit (docs/PERF.md). The actual claim
+        # mask below still uses full-resolution residuals.
+        ss = max(1, cfg.claim_subsample)
+        counts_av = count_inliers(
+            Hs_r, x1[::ss], x2[::ss], avail[::ss], cfg, tau
+        ) * ok_r
         best = jnp.argmax(counts_av)
         H_best = lo_refine_candidates(
             Hs_r[best][None], x1, x2, valid, cfg, cfg.lo_rounds, tau
