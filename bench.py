@@ -18,11 +18,32 @@ import json
 import time
 
 
-def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=3):
+def _stress_cfg(n_points, n_hyp, **kw):
+    """The stress-shape config (BASELINE.json:10). Big scenes trade
+    progressive rounds for claims per round: rounds=2 x R=8 claims is
+    both faster (34 vs 37 ms device) and equally accurate at this scale
+    (A/B in docs/PERF.md); the accuracy-first default (rounds=4, R=1)
+    stays for benchmark-suite-sized scenes."""
+    import multih_tpu
+
+    return multih_tpu.MultiHConfig(
+        max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
+        progressive_rounds=2, claims_per_round=8, **kw,
+    )
+
+
+def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=6,
+                                reps=2):
     """Verified hypotheses/sec at the ACTUAL stress configuration
     (BASELINE.json:10: 10k correspondences, 100k-hypothesis pool, 70%
     outliers): threefry sampling + vmapped 4-pt DLT + the tiled Pallas
-    verification sweep, one fused XLA program."""
+    verification sweep, one fused XLA program.
+
+    Methodology: chained data dependency (the next iteration's key is
+    derived from the previous counts), one block per rep — the same
+    memoization-proof, queue-full scheme as bench_verification_kernel
+    (VERDICT r2 weak #8: one blocked call per small iter count amortized
+    a tunnel RTT into the figure)."""
     import jax
     import jax.numpy as jnp
 
@@ -30,12 +51,7 @@ def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=3):
     from multih_tpu.models import pipeline, labeling
     from multih_tpu.utils import data
 
-    cfg = multih_tpu.MultiHConfig(
-        max_points=n_points,
-        n_hypotheses=n_hyp,
-        inlier_threshold=4.0,
-        residual_chunk=4096,
-    )
+    cfg = _stress_cfg(n_points, n_hyp, inlier_threshold=4.0)
     cs, _ = data.synthetic_scene(
         n_points=n_points, n_planes=8, outlier_rate=0.7, noise_px=0.5,
         seed=42,
@@ -44,20 +60,28 @@ def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=3):
     x1, x2, valid = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid)
 
     @jax.jit
-    def hypothesize_and_verify(key):
+    def hypothesize_and_verify(seed):
+        key = jax.random.key(seed)
         nbr_idx, _ = labeling.knn_graph(x1, valid, cfg.knn_k)
         Hs, ok = pipeline.generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg)
         counts = pipeline.count_inliers(Hs, x1, x2, valid, cfg)
-        return counts * ok
+        counts = counts * ok
+        # scalar data dependency chaining this dispatch to the next
+        return counts, seed + (counts[0] * 1e-12).astype(jnp.int32) + 1
 
-    key = jax.random.key(0)
-    hypothesize_and_verify(key).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = hypothesize_and_verify(jax.random.key(i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return n_hyp / dt, dt
+    seed = jnp.asarray(0, jnp.int32)
+    out, seed = hypothesize_and_verify(seed)  # compile
+    jax.block_until_ready(seed)
+    best = float("inf")
+    for rep in range(reps + 1):  # rep 0 = warm-up, discarded
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, seed = hypothesize_and_verify(seed)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        if rep > 0:
+            best = min(best, dt)
+    return n_hyp / best, best
 
 
 # flops per (hypothesis, point) pair in the verification kernel: forward
@@ -90,10 +114,7 @@ def bench_verification_kernel(n_points=10240, n_hyp=102400, iters=8,
     from multih_tpu.models import pipeline, labeling
     from multih_tpu.utils import data
 
-    cfg = multih_tpu.MultiHConfig(
-        max_points=n_points, n_hypotheses=n_hyp, inlier_threshold=4.0,
-        residual_chunk=4096,
-    )
+    cfg = _stress_cfg(n_points, n_hyp, inlier_threshold=4.0)
     cs, _ = data.synthetic_scene(
         n_points=n_points, n_planes=8, outlier_rate=0.7, noise_px=0.5,
         seed=42,
@@ -179,39 +200,68 @@ def bench_stream(n_frames=40):
 
 def bench_stress(iters=3):
     """BASELINE.json:10: full fit at 10k pts / 70% outliers / 8 planes /
-    100k hypotheses — median blocked latency, fresh keys."""
+    100k hypotheses. Returns (median blocked seconds, device ms from a
+    jax.profiler trace, planes recovered).
+
+    The device figure is the ground truth on a tunnel-attached chip
+    (blocked calls include the ~28 ms dispatch RTT; docs/PERF.md 'A note
+    on timing'): the median XLA-module execution span of the fit program
+    across `iters` traced dispatches, extracted programmatically
+    (multih_tpu.utils.tracing) so BENCH artifacts and the docs headline
+    the same number."""
+    import tempfile
+
     import jax
     import jax.numpy as jnp
 
     import multih_tpu
-    from multih_tpu.utils import data
+    from multih_tpu.utils import data, tracing
 
-    cfg = multih_tpu.MultiHConfig(
-        max_points=10240, n_hypotheses=102400, n_candidates=256,
-        max_labels=16, residual_chunk=4096,
-    )
+    cfg = _stress_cfg(10240, 102400, n_candidates=256, max_labels=16)
     cs, _ = data.synthetic_scene(10000, 8, 0.7, 0.5, seed=42)
     x1, x2, valid = multih_tpu.pad_points(cs.x1, cs.x2, None, cfg.max_points)
     x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
     f = multih_tpu.make_fit(cfg)
-    jax.block_until_ready(f(x1, x2, valid, jax.random.key(0)))
+    res = f(x1, x2, valid, jax.random.key(0))
+    jax.block_until_ready(res)
+    planes = float(jnp.sum(res.active))
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
         jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            r = None
+            for i in range(iters):
+                r = f(x1, x2, valid, jax.random.key(100 + i))
+            jax.block_until_ready(r.labels)
+        # the fit program is by far the largest module in the trace;
+        # min_ms=5 excludes every helper dispatch
+        device_ms = tracing.median_device_ms(td, min_ms=5.0)
+    return times[len(times) // 2], device_ms, planes
 
 
 def main():
+    import os
+
+    import jax
+
+    # persistent compile cache: the five bench configs cost ~60 s of XLA
+    # compilation each when cold; reruns are seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MULTIH_CACHE", "/tmp/multih_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     # pair latency first: the 64k-hypothesis sweep leaves the axon-tunneled
     # device in a state where later small dispatches run ~100x slower, which
     # would corrupt the latency measurement (order-dependence observed on
     # the shared dev chip; a local chip should not care).
     pair_s = bench_pair_latency()
     stream = bench_stream()
-    stress_s = bench_stress()
+    stress_s, stress_dev_ms, stress_planes = bench_stress()
     hyp_per_s, hv_sweep_s = bench_hypothesis_throughput()
     gpairs, vpu_pct, verify_s = bench_verification_kernel()
     target = 50_000.0  # BASELINE.json:5
@@ -230,7 +280,15 @@ def main():
                     "stream_p95_ms": round(stream.p95_ms, 3),
                     "stream_fps": round(stream.fps, 1),
                     "stream_budget_ms": 33.3,
+                    # blocked wall time includes the dev tunnel's ~28 ms
+                    # dispatch RTT; the device field is the profiler-trace
+                    # module span (ground truth; docs/PERF.md headline)
                     "stress_fit_ms": round(stress_s * 1e3, 1),
+                    "stress_fit_device_ms": (
+                        round(stress_dev_ms, 1)
+                        if stress_dev_ms is not None else None
+                    ),
+                    "stress_planes_recovered": stress_planes,
                     "stress_hypothesize_verify_s": round(hv_sweep_s, 4),
                     "stress_verify_sweep_s": round(verify_s, 4),
                     "verify_gpairs_per_s": round(gpairs, 2),

@@ -160,6 +160,11 @@ def _fit_one(cs, args):
         "time_total_s": round(t_total, 4),
         "time_warm_s": round(t_warm, 4),
     }
+    n_far_dropped = int(np.asarray(res.n_far_dropped))
+    if n_far_dropped:
+        # banded-operator capacity overflow: the Potts energy lost edges
+        # (ADVICE r2 — never silent)
+        out["n_far_dropped"] = n_far_dropped
     if gt is not None:
         out["misclassification_pct"] = evaluation.misclassification_error(
             labels, gt[: cs.n_points], cfg.max_labels

@@ -32,8 +32,24 @@ class MultiHConfig:
     n_hypotheses: int = 2048            # minimal 4-pt samples per fit
     max_points: int = 512               # padded correspondence count N
     progressive_rounds: int = 4         # guided re-sampling rounds: claim
-                                        # the best plane's inliers, re-sample
+                                        # found planes' inliers, re-sample
                                         # among the rest (1 = plain sampling)
+    claims_per_round: int = 1           # R: planes claimed per progressive
+                                        # round — the round's top-R
+                                        # candidates are LO-grown together
+                                        # and greedily accepted when
+                                        # mutually disjoint (>=50% novel
+                                        # inliers, >= min_inliers novel),
+                                        # so one round can retire several
+                                        # planes instead of one. Default 1
+                                        # (claim precision): measured A/B,
+                                        # R=4 costs ~0.1-0.15 pp suite mean
+                                        # on outlier-heavy scenes. At
+                                        # stress scale rounds=2/R=8 is both
+                                        # faster (34 vs 37 ms device) and
+                                        # equally accurate — big scenes
+                                        # should trade rounds for claims
+                                        # (bench.py does; docs/PERF.md)
 
     # --- candidate selection / mode-seeking analog (reference C7) ---
     n_candidates: int = 256             # top-M hypotheses kept for NMS
@@ -71,7 +87,20 @@ class MultiHConfig:
                                         # graph only shapes sampling
                                         # locality + Potts smoothing, and
                                         # approx_max_k is exact on CPU,
-                                        # so tests/goldens are unaffected
+                                        # so tests/goldens are unaffected.
+                                        # Only reached when knn_window is
+                                        # off or ungated (the windowed
+                                        # build is exact everywhere).
+    knn_window: bool = True             # restrict k-NN search to the
+                                        # 3-block Morton window when the
+                                        # banded-operator gate holds
+                                        # (spatial_sort, N % agree_block
+                                        # == 0, N >= 2 blocks): O(N*block)
+                                        # build, backend-identical exact
+                                        # top_k, and zero far edges by
+                                        # construction — the basis of the
+                                        # fused MRF kernel. False restores
+                                        # the full-range k-NN search.
     refit_moments: bool = True          # batched weighted DLT refits via
                                         # the 30-moment matmul formulation
                                         # (geometry.homography_refit_batch)

@@ -41,6 +41,10 @@ class FitResult(NamedTuple):
     energy: jax.Array          # scalar — final PEARL energy
     energy_trace: jax.Array    # (pearl_iterations,) energy after each iter
     n_hypotheses_ok: jax.Array # scalar — non-degenerate hypothesis count
+    n_far_dropped: jax.Array   # scalar int32 — far k-NN edges beyond the
+                               # banded operator's capacity (0 in practice;
+                               # nonzero means the Potts energy silently
+                               # lost edges — surfaced per ADVICE r2)
 
 
 def pad_points(x1, x2, gt_labels=None, max_points: int = 512):
@@ -111,54 +115,112 @@ def _thr(cfg: MultiHConfig, tau=None, dtype=jnp.float32):
 # stages
 # ---------------------------------------------------------------------------
 
-def _sample_and_solve(key, x1, x2, avail, nbr_idx, nbr_ok, n_samples,
-                      use_pallas=False):
-    """One batch of minimal samples (half uniform over `avail`, half
-    locality-biased with `nbr_ok` edge preference) -> (Hs, ok)."""
+def _round_sample_indices(key, avail, nbr_idx, nbr_ok, n_samples):
+    """(S, 4) sample-index quadruples for one progressive round: half
+    uniform over `avail`, half locality-biased with `nbr_ok` edge
+    preference. Pure threefry counter math — cheap, and computed
+    identically on every shard of a hypothesis-sharded fit (each shard
+    then solves only its own slot slice; SURVEY.md §2 P3)."""
     k_u, k_l = jax.random.split(key)
     s_local = n_samples // 2
     idx_u = sampling.sample_indices(k_u, n_samples - s_local, avail > 0)
     idx_l = sampling.localized_sample_indices(
         k_l, s_local, avail > 0, nbr_idx, nbr_ok
     )
-    idx = jnp.concatenate([idx_u, idx_l], axis=0)  # (S, 4)
-    p1 = x1[idx]  # (S, 4, 2)
-    p2 = x2[idx]
-    if use_pallas:
+    return jnp.concatenate([idx_u, idx_l], axis=0)  # (S, 4)
+
+
+def _solve_minimal(x1, x2, avail, idx, cfg: MultiHConfig):
+    """Minimal 4-pt DLT solves for the given (S, 4) sample indices.
+
+    TPU gather cost is per-index-latency-bound and layout-sensitive, so
+    the coordinates come from ONE row-gather of a packed (N, 8) array
+    (4S index lookups instead of the 12S of separate x1/x2/avail
+    gathers), immediately transposed to a dense (32, S) coordinate-major
+    form — after which every extract is a dense lane-major row read and
+    the Pallas DLT kernel consumes its native (16, S) packing with no
+    (S, 4, 2) round trip (whose 2-wide minor dim pads to 128 lanes; the
+    original triple gather traced at 8.3 ms/fit at stress scale)."""
+    s = idx.shape[0]
+    packed_src = jnp.concatenate(
+        [x1, x2, avail[:, None], jnp.zeros((x1.shape[0], 3), x1.dtype)],
+        axis=1,
+    )  # (N, 8)
+    g = packed_src[idx]                    # (S, 4, 8): one gather
+    gt = g.reshape(s, 32).T                # (32, S): dense on lanes
+    row = lambda q, c: gt[8 * q + c]       # point q, channel c -> (S,)
+    x1x = jnp.stack([row(q, 0) for q in range(4)])  # (4, S)
+    x1y = jnp.stack([row(q, 1) for q in range(4)])
+    x2x = jnp.stack([row(q, 2) for q in range(4)])
+    x2y = jnp.stack([row(q, 3) for q in range(4)])
+    degenerate = geometry.quad_degenerate_t(x1x, x1y, 1e-4) | \
+        geometry.quad_degenerate_t(x2x, x2y, 1e-4)
+    uses_pad = (
+        (row(0, 4) == 0) | (row(1, 4) == 0)
+        | (row(2, 4) == 0) | (row(3, 4) == 0)
+    )
+    ok = jnp.logical_not(degenerate | uses_pad).astype(x1.dtype)
+    if _pallas_enabled(cfg):
         # SURVEY.md §7 stage 7b: batch-on-lanes Pallas solve — the vmapped
         # QR pads the 9-wide matrices to 128 lanes and is ~20x slower at
         # the stress scale (docs/PERF.md)
-        Hs = dlt_kernel.homography_4pt_pallas(p1, p2)
+        packed = jnp.concatenate(
+            [jnp.stack([x1x, x1y], axis=1).reshape(8, -1),
+             jnp.stack([x2x, x2y], axis=1).reshape(8, -1)], axis=0
+        )  # (16, S): xa ya xb yb ... per image
+        Hs = dlt_kernel.homography_4pt_pallas_packed(packed)
     else:
+        p1 = jnp.stack([x1x, x1y], axis=-1).transpose(1, 0, 2)  # (S,4,2)
+        p2 = jnp.stack([x2x, x2y], axis=-1).transpose(1, 0, 2)
         Hs = geometry.homography_4pt_batch_qr(p1, p2)
-    degenerate = geometry.quad_degenerate_batch(p1, 1e-4) | \
-        geometry.quad_degenerate_batch(p2, 1e-4)
-    uses_pad = jnp.any(avail[idx] == 0, axis=1)
-    ok = jnp.logical_not(degenerate | uses_pad).astype(x1.dtype)
     return Hs, ok
 
 
 def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
-                        tau=None):
+                        tau=None, shard=None):
     """C5 + C7 seeding: threefry-sampled minimal 4-pt DLT solves, fully
     vmapped, in `cfg.progressive_rounds` progressive guided rounds.
 
     The reference reaches full per-plane coverage by drawing one hypothesis
     per correspondence from its local affine frame (Multi-H paper §3.1);
     with point-only input the equivalent coverage guarantee comes from
-    progressive re-sampling: after each round, the best hypothesis is
-    LO-grown and its inliers are 'claimed', and the next round samples only
-    among unclaimed points — so later/smaller planes get dense clean
-    samples instead of competing with already-found structure. All rounds
-    are static-shape; 'claiming' is a soft mask, never a shape change.
+    progressive re-sampling: after each round, the round's top-R
+    candidates (R = cfg.claims_per_round) are LO-grown TOGETHER in one
+    batched refine, greedily accepted when mutually disjoint (>= 50%
+    novel inliers and >= min_inliers of them), and their inliers
+    'claimed'; the next round samples only among unclaimed points — so
+    later/smaller planes get dense clean samples instead of competing
+    with already-found structure, and one round can retire several planes
+    at once. All rounds are static-shape; 'claiming' is a soft mask,
+    never a shape change.
+
+    shard: optional (axis_name, n_shards) — call is inside a shard_map
+    over that mesh axis. Sample indices (cheap counter math) are computed
+    replicated; the expensive solves and claim-ranking counts run only on
+    this shard's slice of each round's slot range, and the per-round
+    top-R candidate exchange is an all_gather of R (count, slot, H)
+    triples per shard. Results are EXACTLY the unsharded pool: the same
+    slots hold the same hypotheses, claims pick the same candidates
+    (count-desc, slot-asc tie order on both paths), so a hyp-sharded fit
+    is bit-compatible with the single-device fit (tested). Returns
+    (Hs_local, ok_local, global_slots) instead of (Hs, ok); claimed
+    planes ride shard 0 with their unsharded slot ids.
     """
     rounds = max(1, cfg.progressive_rounds)
+    n_claim = max(1, cfg.claims_per_round)
     s_round = cfg.n_hypotheses // rounds
     s_rem = cfg.n_hypotheses - s_round * (rounds - 1)
     thr = _thr(cfg, tau, x1.dtype)
 
+    if shard is not None:
+        axis_name, n_shards = shard
+        d = jax.lax.axis_index(axis_name)
+    else:
+        axis_name, n_shards, d = None, 1, 0
+
     claimed = jnp.zeros_like(valid)
-    pools, oks = [], []
+    pools, oks, slots = [], [], []
+    base = 0  # global slot of the next pool segment (static)
     keys = jax.random.split(key, rounds)
     for r in range(rounds):
         avail = valid * (1.0 - claimed)
@@ -168,40 +230,75 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         avail = avail * enough + valid * (1.0 - enough)
         nbr_ok = avail[nbr_idx]
         n_s = s_rem if r == rounds - 1 else s_round
-        Hs_r, ok_r = _sample_and_solve(
-            keys[r], x1, x2, avail, nbr_idx, nbr_ok, n_s,
-            use_pallas=_pallas_enabled(cfg),
-        )
+        idx = _round_sample_indices(keys[r], avail, nbr_idx, nbr_ok, n_s)
+        if shard is not None:
+            s_loc = n_s // n_shards
+            assert s_loc * n_shards == n_s, (n_s, n_shards)
+            idx = jax.lax.dynamic_slice(idx, (d * s_loc, 0), (s_loc, 4))
+        else:
+            s_loc = n_s
+        Hs_r, ok_r = _solve_minimal(x1, x2, avail, idx, cfg)
         pools.append(Hs_r)
         oks.append(ok_r)
+        slots.append(base + d * s_loc + jnp.arange(s_loc))
         if r == rounds - 1:
             break
-        # claim: LO-grow the round's best hypothesis (by inliers among
-        # unclaimed points), then mark its tau-inliers claimed. The count
-        # here only picks an argmax over the round's pool, so it runs on
-        # a strided Morton subsample (spatially uniform after the fit's
-        # spatial sort) — the best plane leads by hundreds of inliers and
-        # the ranking survives 4x subsampling, while the full-pool sweep
-        # was ~17% of the stress fit (docs/PERF.md). The actual claim
-        # mask below still uses full-resolution residuals.
+        # claim: rank this round's (local) pool by inliers among unclaimed
+        # points — on a strided Morton subsample (spatially uniform after
+        # the fit's spatial sort): the ranking only picks candidates, and
+        # the top planes lead by hundreds of inliers, so it survives 4x
+        # subsampling while the full-resolution sweep was ~17% of the
+        # stress fit (docs/PERF.md). Claim masks below stay full-res.
         ss = max(1, cfg.claim_subsample)
         counts_av = count_inliers(
             Hs_r, x1[::ss], x2[::ss], avail[::ss], cfg, tau
         ) * ok_r
-        best = jnp.argmax(counts_av)
-        H_best = lo_refine_candidates(
-            Hs_r[best][None], x1, x2, valid, cfg, cfg.lo_rounds, tau
-        )[0]
-        r_best = geometry.residual_matrix(H_best[None], x1, x2, cfg.residual)[0]
-        newly = (r_best < thr).astype(x1.dtype) * valid
-        # only claim if the grown plane is real (enough support)
-        real = (jnp.sum(newly) >= cfg.min_inliers).astype(x1.dtype)
-        claimed = jnp.clip(claimed + newly * real, 0.0, 1.0)
-        pools.append(H_best[None])
-        oks.append(real[None])
+        c_top, i_top = jax.lax.top_k(counts_av, min(n_claim, s_loc))
+        H_top = Hs_r[i_top]
+        if shard is not None:
+            # exchange top-R candidates; global order = (count desc,
+            # slot asc) — exactly jax.lax.top_k's stable tie order on the
+            # unsharded pool, so both paths grow the same planes
+            slot_top = i_top + d * s_loc
+            c_all = jax.lax.all_gather(c_top, axis_name).reshape(-1)
+            s_all = jax.lax.all_gather(slot_top, axis_name).reshape(-1)
+            H_all = jax.lax.all_gather(H_top, axis_name).reshape(-1, 3, 3)
+            order = jnp.lexsort((s_all, -c_all))[:n_claim]
+            H_top = H_all[order]
+        # LO-grow all R candidates in one batched refine (replicated under
+        # sharding: R*9 floats of input, identical math on every shard)
+        H_grown = lo_refine_candidates(
+            H_top, x1, x2, valid, cfg, cfg.lo_rounds, tau
+        )
+        r_grown = geometry.residual_matrix(H_grown, x1, x2, cfg.residual)
+        inl = (r_grown < thr).astype(x1.dtype) * valid[None, :]  # (R, N)
+        # greedy disjoint accept, strongest first: a candidate claims only
+        # if most of its support is new territory — duplicates of already-
+        # claimed planes are left for the main NMS/merge machinery
+        accepted = []
+        for j in range(H_grown.shape[0]):
+            novel = inl[j] * (1.0 - claimed)
+            n_novel = jnp.sum(novel)
+            acc = (
+                (n_novel >= cfg.min_inliers)
+                & (n_novel >= 0.5 * jnp.sum(inl[j]))
+            ).astype(x1.dtype)
+            claimed = jnp.clip(claimed + inl[j] * acc, 0.0, 1.0)
+            accepted.append(acc)
+        acc_v = jnp.stack(accepted)
+        if shard is not None:
+            # claimed planes ride shard 0 (every shard knows them; only
+            # one may surface them to the verification sweep)
+            acc_v = acc_v * (d == 0).astype(x1.dtype)
+        pools.append(H_grown)
+        oks.append(acc_v)
+        slots.append(base + n_s + jnp.arange(H_grown.shape[0]))
+        base += n_s + H_grown.shape[0]
 
     Hs = jnp.concatenate(pools, axis=0)
     ok = jnp.concatenate(oks, axis=0)
+    if shard is not None:
+        return Hs, ok, jnp.concatenate(slots, axis=0).astype(jnp.int32)
     return Hs, ok
 
 
@@ -251,69 +348,91 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
 count_inliers_chunked = count_inliers
 
 
-def verify_select_topk(Hs_all, ok, x1, x2, valid, cfg: MultiHConfig,
-                       tau=None, mesh=None):
-    """The verification sweep + top-M candidate pick, optionally sharded
-    over the hypothesis axis (SURVEY.md §2 P3 *inside* the full fit).
+def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
+                                cfg: MultiHConfig, tau, mesh,
+                                extra_Hs=None, extra_ok=None):
+    """Hypothesis generation AND the verification sweep + top-M, sharded
+    over the mesh's 'hyp' axis in one shard_map region (SURVEY.md §2 P3
+    inside the full fit — round 3 extends the sharding from verification-
+    only to the whole hypothesize+verify block, VERDICT r2 item 2).
 
-    Without a mesh (or with a 1-sized 'hyp' axis): one count_inliers sweep
-    and a global top-M. With a mesh whose 'hyp' axis is > 1: the pool is
-    split across devices via shard_map — each device sweeps its own
-    hypothesis shard against the replicated points, takes a local top-M,
-    and the global top-M is recovered from the all_gathered (count, index)
-    candidates. Counts never cross devices; only 2*M scalars per device do,
-    so the collective cost is independent of pool size — this is what
-    scales the 100k-hypothesis stress pools past one chip
-    (BASELINE.json:10).
+    Each device solves and sweeps only its slice of every progressive
+    round's slot range; cross-device traffic is R (count, slot, H)
+    triples per claim round plus M (count, slot, H) triples for the final
+    top-M — independent of pool size, so the collective cost stays
+    constant as the pool scales past one chip (BASELINE.json:10).
 
-    Returns (top_counts (M,), top_idx (M,) into Hs_all).
+    Slot bookkeeping reproduces the unsharded pool exactly (same slot ->
+    same hypothesis, same tie order), so the sharded fit is
+    bit-compatible with the single-device fit (tests/test_sharding.py).
+
+    Returns (top_counts (M,), Hs_cand (M, 3, 3)), replicated.
     """
-    m = cfg.n_candidates
-    n_shards = 1 if mesh is None else mesh.shape.get("hyp", 1)
-    if n_shards <= 1:
-        counts = count_inliers(Hs_all, x1, x2, valid, cfg, tau) * ok
-        return jax.lax.top_k(counts, m)
-
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    s = Hs_all.shape[0]
-    pad = (-s) % n_shards
-    if pad:
-        Hs_all = jnp.concatenate(
-            [Hs_all,
-             jnp.broadcast_to(jnp.eye(3, dtype=Hs_all.dtype), (pad, 3, 3))]
-        )
-        ok = jnp.concatenate([ok, jnp.zeros((pad,), ok.dtype)])
+    n_shards = mesh.shape["hyp"]
+    m = cfg.n_candidates
+    rounds = max(1, cfg.progressive_rounds)
+    n_claim = max(1, cfg.claims_per_round)
+    s_total = cfg.n_hypotheses + (rounds - 1) * n_claim
     tau_arr = jnp.asarray(
         cfg.inlier_threshold if tau is None else tau, x1.dtype
     )
-    m_loc = min(m, (s + pad) // n_shards)
+    if extra_Hs is None:
+        extra_Hs = jnp.zeros((0, 3, 3), x1.dtype)
+        extra_ok = jnp.zeros((0,), x1.dtype)
+    pad = (-extra_Hs.shape[0]) % n_shards
+    if pad:
+        extra_Hs = jnp.concatenate(
+            [extra_Hs,
+             jnp.broadcast_to(jnp.eye(3, dtype=x1.dtype), (pad, 3, 3))]
+        )
+        extra_ok = jnp.concatenate(
+            [extra_ok, jnp.zeros((pad,), x1.dtype)]
+        )
 
-    def local_fn(Hs_blk, ok_blk, x1, x2, valid, tau_arr):
-        counts = count_inliers(Hs_blk, x1, x2, valid, cfg, tau_arr) * ok_blk
+    def local_fn(key, x1, x2, valid, nbr, tau_arr, e_hs, e_ok):
+        d = jax.lax.axis_index("hyp")
+        with jax.named_scope("hypothesize"):
+            Hs_loc, ok_loc, slot_loc = generate_hypotheses(
+                key, x1, x2, valid, nbr, cfg, tau_arr,
+                shard=("hyp", n_shards),
+            )
+        e_loc = e_hs.shape[0]  # shard_map already sliced the extras
+        if e_loc:
+            eslot = s_total + d * e_loc + jnp.arange(e_loc)
+            Hs_loc = jnp.concatenate([Hs_loc, e_hs], axis=0)
+            ok_loc = jnp.concatenate([ok_loc, e_ok], axis=0)
+            slot_loc = jnp.concatenate(
+                [slot_loc, eslot.astype(jnp.int32)], axis=0
+            )
+        with jax.named_scope("verify"):
+            counts = count_inliers(
+                Hs_loc, x1, x2, valid, cfg, tau_arr
+            ) * ok_loc
+        m_loc = min(m, counts.shape[0])
         c_loc, i_loc = jax.lax.top_k(counts, m_loc)
-        gidx = i_loc + jax.lax.axis_index("hyp") * Hs_blk.shape[0]
-        # 2*m_loc scalars per device on ICI; final top-M replicated
+        # M (count, slot, H) triples per device on ICI; top-M replicated.
+        # lexsort (count desc, slot asc) == lax.top_k's stable tie order
+        # on the unsharded pool — bit-compatible candidate list.
         c_all = jax.lax.all_gather(c_loc, "hyp").reshape(-1)
-        i_all = jax.lax.all_gather(gidx, "hyp").reshape(-1)
-        c_top, pos = jax.lax.top_k(c_all, m)
-        return c_top, i_all[pos]
+        s_all = jax.lax.all_gather(slot_loc[i_loc], "hyp").reshape(-1)
+        h_all = jax.lax.all_gather(Hs_loc[i_loc], "hyp").reshape(-1, 3, 3)
+        order = jnp.lexsort((s_all, -c_all))[:m]
+        n_ok = jax.lax.psum(jnp.sum(ok_loc), "hyp")
+        return c_all[order], h_all[order], n_ok
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("hyp"), P("hyp"), P(), P(), P(), P()),
-        out_specs=(P(), P()),
-        # outputs ARE replicated (identical final top_k on every shard) but
-        # the static checker cannot infer it
+        in_specs=(P(), P(), P(), P(), P(), P(), P("hyp"), P("hyp")),
+        out_specs=(P(), P(), P()),
+        # outputs ARE replicated (identical final selection on every
+        # shard) but the static checker cannot infer it
         check_vma=False,
     )
-    c_top, i_top = fn(Hs_all, ok, x1, x2, valid, tau_arr)
-    # padded slots (count 0, highest indices) can only surface when fewer
-    # than M real hypotheses have any support; clamp so the gather below
-    # stays in the caller's unpadded pool
-    return c_top, jnp.minimum(i_top, s - 1)
+    return fn(key, x1, x2, valid, nbr_sample, tau_arr, extra_Hs, extra_ok)
 
 
 def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
@@ -474,12 +593,13 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     thr = _thr(cfg, tau, x1.dtype)
     k = cfg.max_labels
 
+    use_k = _pallas_enabled(cfg)
     r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)  # (K, N)
     dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, active)
     q = labeling.mean_field(
         dcost, nbr_idx, nbr_w, cfg.spatial_weight,
         cfg.meanfield_iterations, cfg.temperature_start, cfg.temperature,
-        q_init=q, adj=adj,
+        q_init=q, adj=adj, use_kernel=use_k,
     )
     # Two ICM starts, keep the lower-energy labeling. Mean-field smooths
     # well once planes have mass but cannot nucleate sparse fragments
@@ -489,7 +609,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     labels = labeling.best_labeling(
         [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
         dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
-        adj=adj,
+        adj=adj, use_kernel=use_k,
     )
 
     # refit on assignments; accept per-plane only if inliers don't shrink
@@ -578,7 +698,9 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         fit's `active`); non-finite seeds are masked out regardless.
       mesh: optional jax.sharding.Mesh (static). When its 'hyp' axis is
         > 1, the verification sweep + top-M run sharded over the
-        hypothesis axis (verify_select_topk) — P3 inside the full fit.
+        hypothesis axis (_hypothesize_verify_sharded) — P3 inside the
+        full fit: generation, solves and the verification sweep all run
+        on per-device pool slices.
     """
     k = cfg.max_labels
     thr = _thr(cfg, tau, x1.dtype)
@@ -592,22 +714,39 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         if affines is not None:
             affines = affines[perm]
 
-    # C8: spatial neighborhood (the Potts smoothness graph)
-    with jax.named_scope("knn_graph"):
-        nbr_idx, nbr_w = labeling.knn_graph(
-            x1, valid, cfg.knn_k, cfg.knn_row_block, cfg.knn_approx
-        )
-    # banded agreement operator: with Morton-ordered points, ~96% of k-NN
-    # edges connect near indices, so every PEARL sweep becomes a block-
-    # tridiagonal MXU matmul (one-time build here; far edges kept exact).
-    # Without spatial_sort the band assumption is void — gather path runs.
+    # C8: spatial neighborhood (the Potts smoothness graph). With Morton-
+    # ordered points and a block-aligned N, the k-NN search is restricted
+    # to the 3-block Morton window (knn_graph_windowed): O(N*block) build,
+    # exact on every backend, and — by construction — zero edges outside
+    # the band of the agreement operator below. Otherwise the full-range
+    # row-blocked build runs.
     n_pts = x1.shape[0]
-    if (cfg.agree_block > 0 and cfg.spatial_sort
-            and n_pts % cfg.agree_block == 0
-            and n_pts >= 2 * cfg.agree_block):
+    banded_ok = (cfg.agree_block > 0 and cfg.spatial_sort
+                 and n_pts % cfg.agree_block == 0
+                 and n_pts >= 2 * cfg.agree_block)
+    windowed = banded_ok and cfg.knn_window
+
+    def graph_of(feats):
+        if windowed:
+            return labeling.knn_graph_windowed(
+                feats, valid, cfg.knn_k, cfg.agree_block
+            )
+        return labeling.knn_graph(
+            feats, valid, cfg.knn_k, cfg.knn_row_block, cfg.knn_approx
+        )
+
+    with jax.named_scope("knn_graph"):
+        nbr_idx, nbr_w = graph_of(x1)
+    # banded agreement operator: with Morton-ordered points, ~96% of k-NN
+    # edges connect near indices (100% under the windowed build), so every
+    # PEARL sweep becomes a block-tridiagonal MXU matmul (one-time build
+    # here; far edges kept exact — none exist when windowed). Without
+    # spatial_sort the band assumption is void — gather path runs.
+    if banded_ok:
         with jax.named_scope("banded_adjacency"):
             adj = labeling.build_banded_adjacency(
-                nbr_idx, nbr_w, cfg.agree_block
+                nbr_idx, nbr_w, cfg.agree_block,
+                far_capacity=0 if windowed else None,
             )
     else:
         adj = None
@@ -621,17 +760,15 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             [x1, cfg.sampling_motion_weight * (x2 - x1)], axis=1
         )
         with jax.named_scope("sampling_knn"):
-            nbr_sample, _ = labeling.knn_graph(
-                feat, valid, cfg.knn_k, cfg.knn_row_block, cfg.knn_approx
-            )
+            nbr_sample, _ = graph_of(feat)
     else:
         nbr_sample = nbr_idx
 
-    # C5: hypothesis pool
+    # C5: hypothesis pool. Extras (the paper's affine one-point pool,
+    # streaming warm-start seeds) join the pool before verification and
+    # compete on equal terms with sampled hypotheses.
     key, k_gen, k_f = jax.random.split(key, 3)
-    with jax.named_scope("hypothesize"):
-        Hs_all, ok = generate_hypotheses(k_gen, x1, x2, valid, nbr_sample,
-                                         cfg, tau)
+    extra_Hs, extra_ok = [], []
     if affines is not None:
         from multih_tpu.ops import epipolar
 
@@ -641,27 +778,45 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         )
         H_aff = epipolar.homography_one_point_batch(F, x1, x2, affines)
         finite = jnp.all(jnp.isfinite(H_aff.reshape(-1, 9)), axis=1)
-        Hs_all = jnp.concatenate([Hs_all, H_aff], axis=0)
-        ok = jnp.concatenate(
-            [ok, valid * finite.astype(x1.dtype)], axis=0
-        )
+        extra_Hs.append(H_aff)
+        extra_ok.append(valid * finite.astype(x1.dtype))
 
     if seed_Hs is not None:
         s_finite = jnp.all(
             jnp.isfinite(seed_Hs.reshape(seed_Hs.shape[0], -1)), axis=1
         ).astype(x1.dtype)
-        s_ok = s_finite if seed_ok is None else seed_ok * s_finite
-        Hs_all = jnp.concatenate([Hs_all, seed_Hs], axis=0)
-        ok = jnp.concatenate([ok, s_ok], axis=0)
-
-    # C6 + C7: verification sweep, LO growth, candidate selection
-    with jax.named_scope("verify"):
-        top_counts, top_idx = verify_select_topk(
-            Hs_all, ok, x1, x2, valid, cfg, tau, mesh
+        extra_Hs.append(seed_Hs)
+        extra_ok.append(
+            s_finite if seed_ok is None else seed_ok * s_finite
         )
+
+    n_shards = 1 if mesh is None else mesh.shape.get("hyp", 1)
+    if n_shards > 1:
+        # P3: generation + verification sharded over the 'hyp' mesh axis
+        top_counts, Hs_cand, n_hyp_ok = _hypothesize_verify_sharded(
+            k_gen, x1, x2, valid, nbr_sample, cfg, tau, mesh,
+            jnp.concatenate(extra_Hs, axis=0) if extra_Hs else None,
+            jnp.concatenate(extra_ok, axis=0) if extra_Hs else None,
+        )
+    else:
+        with jax.named_scope("hypothesize"):
+            Hs_all, ok = generate_hypotheses(
+                k_gen, x1, x2, valid, nbr_sample, cfg, tau
+            )
+        if extra_Hs:
+            Hs_all = jnp.concatenate([Hs_all] + extra_Hs, axis=0)
+            ok = jnp.concatenate([ok] + extra_ok, axis=0)
+        # C6: verification sweep + top-M candidate pick
+        with jax.named_scope("verify"):
+            counts = count_inliers(Hs_all, x1, x2, valid, cfg, tau) * ok
+            top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
+        Hs_cand = Hs_all[top_idx]
+        n_hyp_ok = jnp.sum(ok)
+
+    # C7: LO growth + candidate selection
     with jax.named_scope("lo_refine"):
         Hs_top = lo_refine_candidates(
-            Hs_all[top_idx], x1, x2, valid, cfg, cfg.lo_rounds, tau
+            Hs_cand, x1, x2, valid, cfg, cfg.lo_rounds, tau
         )
     with jax.named_scope("select"):
         r_top = geometry.residual_matrix(Hs_top, x1, x2, cfg.residual)
@@ -700,7 +855,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     labels = labeling.best_labeling(
         [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
         dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
-        adj=adj,
+        adj=adj, use_kernel=_pallas_enabled(cfg),
     )
     # points on inactive planes -> outlier label
     label_active = jnp.concatenate([active, jnp.ones((1,), active.dtype)])
@@ -722,7 +877,10 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         support=support,
         energy=energies[-1],
         energy_trace=energies,
-        n_hypotheses_ok=jnp.sum(ok),
+        n_hypotheses_ok=n_hyp_ok,
+        n_far_dropped=(
+            adj.n_dropped if adj is not None else jnp.zeros((), jnp.int32)
+        ),
     )
 
 
@@ -754,7 +912,7 @@ def estimate_tau(res: FitResult, x1, x2, valid, cfg: MultiHConfig,
 
 
 def fit_adaptive(x1, x2, valid, key, cfg: MultiHConfig,
-                 probe_tau: float = 8.0):
+                 probe_tau: float = 8.0, mesh=None):
     """Two-pass fit with a self-calibrated inlier threshold: a probe pass
     at a generous tau estimates the correspondence noise from the plane
     members' residuals, then the real fit runs at tau = 6 sigma. Both
@@ -762,9 +920,9 @@ def fit_adaptive(x1, x2, valid, key, cfg: MultiHConfig,
     (FitResult, tau)."""
     k_probe, k_fit = jax.random.split(key)
     res0 = fit(x1, x2, valid, k_probe, cfg,
-               tau=jnp.asarray(probe_tau, x1.dtype))
+               tau=jnp.asarray(probe_tau, x1.dtype), mesh=mesh)
     tau = estimate_tau(res0, x1, x2, valid, cfg)
-    return fit(x1, x2, valid, k_fit, cfg, tau=tau), tau
+    return fit(x1, x2, valid, k_fit, cfg, tau=tau, mesh=mesh), tau
 
 
 def make_fit(cfg: MultiHConfig):

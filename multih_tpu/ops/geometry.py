@@ -538,6 +538,25 @@ def quad_degenerate(x1: jax.Array, eps: float = 1e-6) -> jax.Array:
 quad_degenerate_batch = jax.vmap(quad_degenerate, in_axes=(0, None))
 
 
+def quad_degenerate_t(px: jax.Array, py: jax.Array,
+                      eps: float = 1e-6) -> jax.Array:
+    """`quad_degenerate_batch` in coordinate-major layout: px, py are
+    (4, S) — quad q's x/y coords as dense lane-major rows (no padded
+    minor dims; the (S, 4, 2) layout pads 2 -> 128 lanes and wastes 64x
+    the bytes of every elementwise op). Returns (S,) bool."""
+    def tri_area2(a, b, c):
+        return jnp.abs(
+            (px[b] - px[a]) * (py[c] - py[a])
+            - (py[b] - py[a]) * (px[c] - px[a])
+        )
+
+    d = tri_area2(0, 1, 2) < eps
+    d |= tri_area2(0, 1, 3) < eps
+    d |= tri_area2(0, 2, 3) < eps
+    d |= tri_area2(1, 2, 3) < eps
+    return d
+
+
 # ---------------------------------------------------------------------------
 # residuals (reference C6) — hypotheses x correspondences contractions
 # ---------------------------------------------------------------------------

@@ -153,6 +153,26 @@ def _solve_packed(packed: jax.Array, interpret: bool = False) -> jax.Array:
     return out.reshape(9, s)
 
 
+def homography_4pt_pallas_packed(
+    packed: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Batched minimal solve from coordinate-major packed coords:
+    (16, S) rows [x1: xa ya xb yb xc yc xd yd; then x2 likewise] ->
+    (S, 3, 3). The packed layout is the kernel's native input — callers
+    that gather sample coordinates coordinate-major (pipeline
+    _solve_minimal) skip the (S, 4, 2) round trip entirely (its 2-wide
+    minor dim pads to 128 lanes). Pads S to a TILE multiple internally.
+    """
+    s = packed.shape[1]
+    pad = (-s) % TILE
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((16, pad), packed.dtype)], axis=1
+        )
+    h = _solve_packed(packed.astype(jnp.float32), interpret=interpret)
+    return h.T.reshape(-1, 3, 3)[:s]
+
+
 def homography_4pt_pallas(
     p1: jax.Array, p2: jax.Array, interpret: bool = False
 ) -> jax.Array:

@@ -62,7 +62,11 @@ def jacobi_smallest_column(A, sweeps: int):
                 # trig-free rotation zeroing A[p][q]
                 theta = (aqq - app) / (2.0 * jnp.where(
                     jnp.abs(apq) < eps, eps, apq))
-                t = jnp.sign(theta) / (
+                # not jnp.sign: sign(0) = 0 would yield t = 0 (identity)
+                # at exactly-degenerate diagonals (aqq == app), leaving the
+                # pivot unzeroed; the correct rotation at theta = 0 is 45deg
+                sgn = jnp.where(theta >= 0.0, 1.0, -1.0)
+                t = sgn / (
                     jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0)
                 )
                 t = jnp.where(jnp.abs(apq) < eps, 0.0, t)

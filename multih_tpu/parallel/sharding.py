@@ -46,7 +46,7 @@ def make_mesh(devices=None, pair_axis: int | None = None) -> Mesh:
 
 
 def batched_fit(cfg: MultiHConfig, adaptive: bool = False,
-                probe_tau: float = 8.0):
+                probe_tau: float = 8.0, mesh: Mesh | None = None):
     """vmapped fit over a batch of padded pairs: the P4 'run the CLI 19
     times' replacement — one XLA program for the whole benchmark.
 
@@ -55,16 +55,28 @@ def batched_fit(cfg: MultiHConfig, adaptive: bool = False,
     the per-pair inlier threshold in px, *traced* — one compile serves any
     mix of per-scene thresholds. With `adaptive`, each pair instead
     self-calibrates its threshold (fit_adaptive) and `taus` is ignored.
+
+    `mesh`: optional 2-D ('pair', 'hyp') mesh — when its 'hyp' axis is
+    > 1, EACH per-pair fit additionally shards its hypothesize+verify
+    block over that axis (P3 composed under P4: the batch rides the
+    'pair' axis via sharded_fit's in_shardings while every pair's
+    hypothesis pool splits over 'hyp').
     """
+    fit_mesh = (
+        mesh if mesh is not None and mesh.shape.get("hyp", 1) > 1
+        else None
+    )
     if adaptive:
         def one(x1, x2, valid, key, tau):
             res, _ = pipeline.fit_adaptive(
-                x1, x2, valid, key, cfg, probe_tau=probe_tau
+                x1, x2, valid, key, cfg, probe_tau=probe_tau,
+                mesh=fit_mesh,
             )
             return res
     else:
         def one(x1, x2, valid, key, tau):
-            return pipeline.fit(x1, x2, valid, key, cfg, tau=tau)
+            return pipeline.fit(x1, x2, valid, key, cfg, tau=tau,
+                                mesh=fit_mesh)
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))
 
 
@@ -83,7 +95,7 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh, adaptive: bool = False):
     hit = _SHARDED_FIT_CACHE.get(cache_key)
     if hit is not None:
         return hit
-    vf = batched_fit(cfg, adaptive=adaptive)
+    vf = batched_fit(cfg, adaptive=adaptive, mesh=mesh)
     in_shardings = (
         NamedSharding(mesh, P("pair", None, None)),  # x1
         NamedSharding(mesh, P("pair", None, None)),  # x2
@@ -93,7 +105,7 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh, adaptive: bool = False):
     )
     out_shardings = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P("pair")),
-        pipeline.FitResult(*(None,) * 7),
+        pipeline.FitResult(*(None,) * len(pipeline.FitResult._fields)),
     )
     f = jax.jit(
         vf, in_shardings=in_shardings, out_shardings=out_shardings
@@ -103,13 +115,14 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh, adaptive: bool = False):
 
 
 def hyp_sharded_fit(cfg: MultiHConfig, mesh: Mesh):
-    """The FULL single-pair fit with its verification sweep + top-M sharded
-    over the mesh's 'hyp' axis (P3 integrated into fit, not a standalone
-    sweep: pipeline.verify_select_topk). Hypothesis generation, PEARL and
-    refits are replicated — at stress scale the verification sweep is the
-    dominant term that grows with the pool, and it is the only stage whose
-    sharding needs a collective (the distributed top-M's all_gather of
-    2*M scalars per device).
+    """The FULL single-pair fit with hypothesis GENERATION and the
+    verification sweep + top-M sharded over the mesh's 'hyp' axis (P3
+    integrated into fit: pipeline._hypothesize_verify_sharded). Each
+    device samples, solves and sweeps only its slice of every progressive
+    round's slot range; cross-device traffic is R (count, slot, H)
+    triples per claim round + M for the final top-M — independent of
+    pool size. PEARL and refits are replicated (they do not grow with
+    the pool). Bit-compatible with the unsharded fit (tested).
 
     Returns jitted f(x1, x2, valid, key) -> FitResult.
     """

@@ -52,6 +52,7 @@ class TestShardedFit:
         r8 = sharding.run_benchmark_batch(pairs, tiny_cfg, mesh=mesh8)
         r1 = sharding.run_benchmark_batch(pairs, tiny_cfg, mesh=mesh1)
         np.testing.assert_array_equal(r8.labels, r1.labels)
+        np.testing.assert_array_equal(r8.active, r1.active)
         from multih_tpu.ops import geometry
         import jax.numpy as jnp
 
@@ -62,12 +63,18 @@ class TestShardedFit:
                 jnp.asarray(r8.homographies[i]), x1, x2, "symmetric"))
             res1 = np.asarray(geometry.residual_matrix(
                 jnp.asarray(r1.homographies[i]), x1, x2, "symmetric"))
+            # ACTIVE planes only: inactive slots hold whatever dead
+            # candidate last occupied them — often near-degenerate, where
+            # the mesh-dependent fp32 reduction order of the moment refit
+            # amplifies into arbitrary residuals. They carry no result
+            # state (labels/active asserted exact above).
+            act = np.asarray(r8.active[i]) > 0
             # residuals in px^2; the decision zone (up to ~3x the squared
             # inlier threshold tau^2 ~ 6 px^2) must agree to a hundredth
             # of a pixel — far-outlier magnitudes are H-noise-amplified
-            # and classification-irrelevant (labels asserted exact above)
+            # and classification-irrelevant
             np.testing.assert_allclose(
-                np.minimum(res8, 20.0), np.minimum(res1, 20.0),
+                np.minimum(res8[act], 20.0), np.minimum(res1[act], 20.0),
                 atol=0.05, err_msg=str(i),
             )
 

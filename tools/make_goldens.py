@@ -62,9 +62,12 @@ def main():
         }
         print(f"{cs.name}: {len(active)} planes, {err:.2f}%")
 
+    summary["_oracle"] = {"version": rp.ORACLE_VERSION,
+                          "n_hypotheses": args.hypotheses}
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
-    errs = [v["misclassification_pct"] for v in summary.values()]
+    errs = [v["misclassification_pct"] for k, v in summary.items()
+            if not k.startswith("_")]
     print(f"mean misclassification: {np.mean(errs):.3f}%")
 
 

@@ -15,6 +15,17 @@ import dataclasses
 
 import numpy as np
 
+# Oracle provenance, recorded into tests/goldens/summary.json (ADVICE r2:
+# the oracle co-evolved with the TPU path in round 2 — goldens must say
+# which oracle produced them so regressions shared by both implementations
+# stay attributable). Bump on any behavioral change to this file or to
+# native/expansion.cpp.
+ORACLE_VERSION = (
+    "r2.1: float64 NumPy PEARL + native Dinic/BVZ/Delong expansion; "
+    "LO schedule 4t/2t/t, motion-augmented sampling (w=2), claim gating "
+    "min_inliers; 5 progressive sampling rounds"
+)
+
 
 @dataclasses.dataclass
 class PearlParams:
