@@ -7,8 +7,13 @@ TPU-only perf assertions live behind the 'tpu' marker.
 
 import os
 
+# MULTIH_TPU_TESTS=1 keeps the native (TPU) platform so the tpu-marked
+# on-device parity suite (tests/test_tpu_parity.py) can run; everything
+# else skips itself there. Default: force CPU + virtual mesh.
+_TPU_MODE = os.environ.get("MULTIH_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_MODE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -18,7 +23,8 @@ import jax  # noqa: E402
 # NOTE: this image pre-sets JAX_PLATFORMS=axon and the env var is NOT
 # honored when overwritten from inside the process — only the config API
 # reliably forces CPU here.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: full-pipeline jits are expensive on CPU;
 # cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/multih_jax_cache")
