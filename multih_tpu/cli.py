@@ -362,6 +362,7 @@ def cmd_stream(args):
         src, cfg, budget_ms=args.budget_ms,
         pipeline_depth=args.pipeline_depth,
         warm_start=not args.no_warm_start,
+        upload="preload" if args.preload else "stream",
     )
     out = {
         "frames": stats.frames,
@@ -428,6 +429,10 @@ def main(argv=None):
     p_st.add_argument("--no-warm-start", action="store_true",
                       help="disable seeding each frame's candidate pool "
                            "with the previous frame's planes")
+    p_st.add_argument("--preload", action="store_true",
+                      help="upload all frames before timing (isolates "
+                           "device compute from transfer; default is "
+                           "per-frame upload, the deployment shape)")
     _add_common(p_st)
     p_st.set_defaults(fn=cmd_stream)
 

@@ -130,6 +130,7 @@ def run_stream(
     seed: int = 0,
     pipeline_depth: int = 3,
     warm_start: bool = True,
+    upload: str = "stream",
 ) -> StreamStats:
     """Fit every frame with one compiled executable.
 
@@ -141,21 +142,32 @@ def run_stream(
     tests/test_streaming_features.py). The seed chain is device-resident
     and dispatches asynchronously, so pipelining is unaffected.
 
+    ``upload`` (VERDICT r2 item 5 — deployment-shaped numbers):
+
+    - ``"stream"`` (default): each frame is ``jax.device_put`` as it is
+      consumed — the upload of frame t+depth overlaps the device compute
+      of frame t (device_put and dispatch are both async), exactly the
+      double-buffered production ingest pattern. Latency and fps both
+      INCLUDE host->device transfer.
+    - ``"preload"``: all frames uploaded once before timing — isolates
+      device compute from transfer. On this image's remote axon tunnel a
+      per-frame transfer costs a network RTT no locally-attached
+      deployment would pay, so preload remains the mode that measures
+      the *framework* rather than the tunnel.
+
+    Tunnel measurement caveat: the SECOND ``run_stream`` call within one
+    process degrades to ~one RTT (~30 ms) per blocked call, whichever
+    mode it is (measured both orders) — compare modes across fresh
+    processes, as ``bench.py::bench_stream`` does.
+
     Frames are dispatched ``pipeline_depth`` ahead of the blocking read —
     JAX dispatch is async, so host->device transfer and device compute of
     consecutive frames overlap (the standard production pattern; it also
     hides the per-call RTT of remotely-attached accelerators). fps measures
     sustained throughput at that depth; per-frame latency stats come from
-    each frame's enqueue-to-ready time with depth lag subtracted out of the
-    pipeline by measuring the blocked tail only.
+    blocked single-frame execution (pass 1).
 
     The first (compile) frame is excluded, matching a warm server.
-
-    NOTE (dev harness): frames are transferred to the device up front. On a
-    locally attached TPU, per-frame h2d of ~10 KB costs microseconds and
-    overlaps with compute; through this image's remote axon tunnel the same
-    transfer interleaved with queued work takes seconds, which would
-    benchmark the tunnel, not the framework.
     """
     import collections
     import logging
@@ -164,6 +176,7 @@ def run_stream(
 
     import multih_tpu
 
+    assert upload in ("stream", "preload"), upload
     cfg = cfg or MultiHConfig(max_points=512, n_hypotheses=1024)
     if warm_start:
         import jax.numpy as jnp
@@ -188,8 +201,8 @@ def run_stream(
             return f_cold(x1_, x2_, v_, k_)
     key = jax.random.key(seed)
 
-    # preload all frames to the device
-    dev_frames = []
+    # pad frames on host; upload either up front (preload) or per-frame
+    host_frames = []
     for cs in stream:
         if cs.n_points > cfg.max_points:
             # same resilience contract as DirectoryStream: an oversized
@@ -200,25 +213,42 @@ def run_stream(
                 cs.name, cs.n_points, cfg.max_points,
             )
             continue
-        x1, x2, valid = multih_tpu.pad_points(
+        host_frames.append(multih_tpu.pad_points(
             cs.x1, cs.x2, None, cfg.max_points
-        )
-        dev_frames.append(
-            tuple(jax.device_put(a) for a in (x1, x2, valid))
-        )
-    if not dev_frames:
+        ))
+    if not host_frames:
         return StreamStats(0, 0, 0, 0, 0, 0, 0, budget_ms, 0)
-    jax.block_until_ready(dev_frames[-1])
+
+    if upload == "preload":
+        dev_frames = [
+            tuple(jax.device_put(a) for a in hf) for hf in host_frames
+        ]
+        jax.block_until_ready(dev_frames[-1])
+
+        def frames():
+            return iter(dev_frames)
+    else:
+        def frames():
+            # device_put is async: the copy of frame t+1 overlaps the
+            # compute of frame t once dispatch runs ahead (pass 2)
+            return (
+                tuple(jax.device_put(a) for a in hf) for hf in host_frames
+            )
 
     # compile frame
-    jax.block_until_ready(f(*dev_frames[0], key, None))
+    jax.block_until_ready(f(*next(frames()), key, None))
 
-    # pass 1: blocked per-frame latency, warm-start chained frame to frame
+    # pass 1: blocked per-frame latency (including upload in stream
+    # mode), warm-start chained frame to frame
     times = []
     prev = None
-    for d in dev_frames:
+    for i, hf in enumerate(host_frames):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
+        d = (
+            tuple(jax.device_put(a) for a in hf)
+            if upload == "stream" else dev_frames[i]
+        )
         res = f(*d, sub, prev)
         jax.block_until_ready(res.labels)
         times.append(time.perf_counter() - t0)
@@ -234,7 +264,7 @@ def run_stream(
     results = []
     prev = None
     t0 = time.perf_counter()
-    for d in dev_frames:
+    for d in frames():
         key, sub = jax.random.split(key)
         res = f(*d, sub, prev)
         prev = res
@@ -257,7 +287,7 @@ def run_stream(
         p50_ms=float(np.percentile(times_ms, 50)),
         p95_ms=float(np.percentile(times_ms, 95)),
         max_ms=float(times_ms.max()),
-        fps=float(len(dev_frames) / wall) if wall > 0 else 0.0,
+        fps=float(len(host_frames) / wall) if wall > 0 else 0.0,
         mean_planes=float(np.mean(planes)),
         budget_ms=budget_ms,
         frames_over_budget=int((times_ms > budget_ms).sum()),
