@@ -312,22 +312,21 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
     """C6 over the full pool without materializing (S, N).
 
     TPU: one Pallas launch — a 2-D (hyp, point) grid with on-chip count
-    accumulation (kernels/residual_kernel.py). Elsewhere: scan hypothesis
-    chunks with the jnp reference residual, reducing each immediately.
-    The kernel implements only the 'symmetric' residual; 'transfer' and
-    'sampson' take the chunked jnp path on every backend (slower on TPU at
-    stress scale — the (S, N) sweep streams through HBM in chunks instead
-    of staying on-chip). With cfg.pallas_approx_rcp (default), kernel
-    counts may differ from the jnp path by ~+-2 threshold-boundary ties.
+    accumulation (kernels/residual_kernel.py) for every cfg.residual kind
+    ('symmetric' forward+backward, 'transfer' forward-only, 'sampson'
+    first-order reprojection — VERDICT r2 item 8). Elsewhere: scan
+    hypothesis chunks with the jnp reference residual, reducing each
+    immediately. With cfg.pallas_approx_rcp (default), kernel counts may
+    differ from the jnp path by ~+-2 threshold-boundary ties.
     """
     thr = _thr(cfg, tau, x1.dtype)
-    if _pallas_enabled(cfg) and cfg.residual == "symmetric":
+    if _pallas_enabled(cfg):
         from multih_tpu.ops.kernels import residual_kernel
 
         return residual_kernel.inlier_counts_padded(
             Hs, x1, x2, valid, thr,
             hyp_tile=256, pt_tile=min(2048, max(512, x1.shape[0])),
-            approx_rcp=cfg.pallas_approx_rcp,
+            approx_rcp=cfg.pallas_approx_rcp, kind=cfg.residual,
         )
     s = Hs.shape[0]
     chunk = min(cfg.residual_chunk, s)

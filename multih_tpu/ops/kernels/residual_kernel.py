@@ -1,11 +1,12 @@
 """Pallas TPU kernel: tiled hypotheses x correspondences verification.
 
 The build's analog of sequence parallelism (SURVEY.md §5 'long-context',
-§2 P2): a 2-D grid over (hypothesis tile, point tile) computes symmetric
-transfer errors and reduces them to per-hypothesis inlier counts entirely
-on-chip — the full (S, N) residual matrix never exists in HBM, so the 100k
-x 10k stress config (BASELINE.json:10) costs S*9 + 5*N floats of traffic
-instead of S*N.
+§2 P2): a 2-D grid over (hypothesis tile, point tile) computes residuals
+(symmetric/forward transfer or Sampson, matching geometry.residual_matrix)
+and reduces them to per-hypothesis inlier counts entirely on-chip — the
+full (S, N) residual matrix never exists in HBM, so the 100k x 10k stress
+config (BASELINE.json:10) costs S*9 + 5*N floats of traffic instead of
+S*N.
 
 Layouts are chosen for the VPU's (sublane, lane) tiling:
 - hypotheses ride the sublane axis as (TH, 9) blocks of the (S, 9) array
@@ -29,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-12
 
 
-def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool):
+def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool,
+                  kind: str):
     j = pl.program_id(1)
 
     x = pts_ref[0:1, :]
@@ -53,26 +55,48 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool):
         w_safe = s * jnp.maximum(jnp.abs(w), _EPS)
         return pl.reciprocal(w_safe, approx=approx_rcp)
 
-    # forward transfer ||pi(H x1) - x2||^2
-    rf = safe_rcp(h[6] * x + h[7] * y + h[8])
-    uf = (h[0] * x + h[1] * y + h[2]) * rf - u
-    vf = (h[3] * x + h[4] * y + h[5]) * rf - v
-    err = uf * uf + vf * vf
-
-    # backward via adjugate (scale-free inverse), entries are (TH, 1)
-    a0 = h[4] * h[8] - h[5] * h[7]
-    a1 = h[2] * h[7] - h[1] * h[8]
-    a2 = h[1] * h[5] - h[2] * h[4]
-    a3 = h[5] * h[6] - h[3] * h[8]
-    a4 = h[0] * h[8] - h[2] * h[6]
-    a5 = h[2] * h[3] - h[0] * h[5]
-    a6 = h[3] * h[7] - h[4] * h[6]
-    a7 = h[1] * h[6] - h[0] * h[7]
-    a8 = h[0] * h[4] - h[1] * h[3]
-    rb = safe_rcp(a6 * u + a7 * v + a8)
-    ub = (a0 * u + a1 * v + a2) * rb - x
-    vb = (a3 * u + a4 * v + a5) * rb - y
-    err = err + ub * ub + vb * vb
+    if kind in ("transfer", "symmetric"):
+        # forward transfer ||pi(H x1) - x2||^2
+        rf = safe_rcp(h[6] * x + h[7] * y + h[8])
+        uf = (h[0] * x + h[1] * y + h[2]) * rf - u
+        vf = (h[3] * x + h[4] * y + h[5]) * rf - v
+        err = uf * uf + vf * vf
+    if kind == "symmetric":
+        # backward via adjugate (scale-free inverse), entries are (TH, 1)
+        a0 = h[4] * h[8] - h[5] * h[7]
+        a1 = h[2] * h[7] - h[1] * h[8]
+        a2 = h[1] * h[5] - h[2] * h[4]
+        a3 = h[5] * h[6] - h[3] * h[8]
+        a4 = h[0] * h[8] - h[2] * h[6]
+        a5 = h[2] * h[3] - h[0] * h[5]
+        a6 = h[3] * h[7] - h[4] * h[6]
+        a7 = h[1] * h[6] - h[0] * h[7]
+        a8 = h[0] * h[4] - h[1] * h[3]
+        rb = safe_rcp(a6 * u + a7 * v + a8)
+        ub = (a0 * u + a1 * v + a2) * rb - x
+        vb = (a3 * u + a4 * v + a5) * rb - y
+        err = err + ub * ub + vb * vb
+    if kind == "sampson":
+        # first-order reprojection error, same algebra as
+        # geometry.sampson_error_sq_h (the jnp reference): two residual
+        # rows of x2 x (H x1) = 0 and their Jacobian w.r.t. (x1, x2).
+        hx0 = h[0] * x + h[1] * y + h[2]
+        hx1 = h[3] * x + h[4] * y + h[5]
+        hx2 = h[6] * x + h[7] * y + h[8]
+        e1 = v * hx2 - hx1
+        e2 = hx0 - u * hx2
+        d1x = v * h[6] - h[3]
+        d1y = v * h[7] - h[4]
+        d2x = h[0] - u * h[6]
+        d2y = h[1] - u * h[7]
+        # J J^T entries; d1 = (d1x, d1y, 0, hx2), d2 = (d2x, d2y, -hx2, 0)
+        # so the cross terms of the zero/hx2 components vanish
+        a = d1x * d1x + d1y * d1y + hx2 * hx2
+        b = d1x * d2x + d1y * d2y
+        c = d2x * d2x + d2y * d2y + hx2 * hx2
+        det = jnp.maximum(a * c - b * b, _EPS)
+        err = (c * e1 * e1 - 2.0 * b * e1 * e2 + a * e2 * e2) * \
+            pl.reciprocal(det, approx=approx_rcp)
 
     inlier = jnp.where(
         (err < thr_ref[0, 0]) & (valid > 0), 1.0, 0.0
@@ -98,7 +122,8 @@ def pack_points(x1, x2, valid):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hyp_tile", "pt_tile", "interpret", "approx_rcp")
+    jax.jit, static_argnames=("hyp_tile", "pt_tile", "interpret",
+                              "approx_rcp", "kind")
 )
 def inlier_counts(
     Hs: jax.Array,
@@ -108,17 +133,23 @@ def inlier_counts(
     pt_tile: int = 1024,
     interpret: bool = False,
     approx_rcp: bool = True,
+    kind: str = "symmetric",
 ) -> jax.Array:
-    """Per-hypothesis inlier counts (symmetric transfer error < threshold).
+    """Per-hypothesis inlier counts (residual < threshold).
 
     Args:
       Hs: (S, 3, 3) float32, S a multiple of hyp_tile (pad with identity).
       packed_pts: (8, N) from pack_points, N a multiple of pt_tile (the
         valid row handles padding).
       threshold_sq: scalar.
+      kind: 'symmetric' (forward+backward transfer), 'transfer'
+        (forward only — half the FLOPs), or 'sampson' (first-order
+        reprojection) — same residual algebra as
+        geometry.residual_matrix(kind) (VERDICT r2 item 8).
 
     Returns: (S,) float32 counts.
     """
+    assert kind in ("symmetric", "transfer", "sampson"), kind
     s = Hs.shape[0]
     n = packed_pts.shape[1]
     assert s % hyp_tile == 0, (s, hyp_tile)
@@ -127,7 +158,7 @@ def inlier_counts(
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1, 1)
 
     out = pl.pallas_call(
-        functools.partial(_count_kernel, approx_rcp=approx_rcp),
+        functools.partial(_count_kernel, approx_rcp=approx_rcp, kind=kind),
         grid=(s // hyp_tile, n // pt_tile),
         in_specs=[
             pl.BlockSpec(
@@ -153,7 +184,8 @@ def inlier_counts(
 
 def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
                          hyp_tile: int = 128, pt_tile: int = 1024,
-                         interpret: bool = False, approx_rcp: bool = True):
+                         interpret: bool = False, approx_rcp: bool = True,
+                         kind: str = "symmetric"):
     """Convenience wrapper: pads S and N to tile multiples, packs points,
     returns (S,) counts for the original hypotheses."""
     s = Hs.shape[0]
@@ -172,6 +204,6 @@ def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
     packed = pack_points(x1, x2, valid)
     counts = inlier_counts(
         Hs, packed, threshold_sq, hyp_tile=hyp_tile, pt_tile=pt_tile,
-        interpret=interpret, approx_rcp=approx_rcp,
+        interpret=interpret, approx_rcp=approx_rcp, kind=kind,
     )
     return counts[:s]

@@ -44,6 +44,45 @@ class TestInlierCountKernel:
         assert d.max() <= 2.0, d.max()
         assert d.mean() < 0.5, d.mean()
 
+    @pytest.mark.parametrize("kind", ["transfer", "sampson"])
+    def test_matches_jnp_reference_other_residuals(self, rng, kind):
+        """'transfer' and 'sampson' kernel variants (VERDICT r2 item 8) vs
+        geometry.residual_matrix(kind), exact division (approx_rcp off)
+        and the fast-reciprocal default both within boundary-tie slack."""
+        s, n = 192, 1536
+        Hs = jnp.asarray(random_hs(rng, s))
+        x1 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        valid = jnp.asarray(
+            (rng.uniform(size=n) > 0.2).astype(np.float32)
+        )
+        # sampson errors are ~4x smaller than symmetric on the same
+        # geometry (first-order, one-sided): use a tighter threshold so
+        # both kinds land at partial-inlier counts
+        thr = jnp.asarray(400.0 if kind == "sampson" else 900.0,
+                          jnp.float32)
+        ref = jnp.sum(
+            (geometry.residual_matrix(Hs, x1, x2, kind) < thr)
+            * valid[None, :],
+            axis=1,
+        )
+        for approx in (False, True):
+            got = residual_kernel.inlier_counts_padded(
+                Hs, x1, x2, valid, thr, hyp_tile=64, pt_tile=512,
+                interpret=True, approx_rcp=approx, kind=kind,
+            )
+            d = np.abs(np.asarray(got) - np.asarray(ref))
+            assert d.max() <= 2.0, (kind, approx, d.max())
+            assert d.mean() < 0.5, (kind, approx, d.mean())
+        # sanity: the three kinds measure different things — symmetric
+        # must dominate forward-only transfer pointwise in counts
+        got_sym = residual_kernel.inlier_counts_padded(
+            Hs, x1, x2, valid, thr, hyp_tile=64, pt_tile=512,
+            interpret=True, kind="symmetric",
+        )
+        if kind == "transfer":
+            assert np.all(np.asarray(got_sym) <= np.asarray(ref) + 2)
+
     def test_padding_and_ragged_shapes(self, rng):
         s, n = 130, 1000  # not tile multiples
         Hs = jnp.asarray(random_hs(rng, s))

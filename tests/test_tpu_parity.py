@@ -49,7 +49,11 @@ def _random_hs(rng, s):
 
 
 class TestResidualKernelOnDevice:
-    def test_counts_match_jnp_within_boundary_ties(self, rng):
+    @pytest.mark.parametrize("kind", ["symmetric", "transfer", "sampson"])
+    def test_counts_match_jnp_within_boundary_ties(self, rng, kind):
+        """All three residual kinds (VERDICT r2 item 8: 'transfer' and
+        'sampson' now take the Pallas path too) vs the jnp reference,
+        on device."""
         from multih_tpu.ops.kernels import residual_kernel
 
         s, n = 1024, 4096
@@ -57,17 +61,20 @@ class TestResidualKernelOnDevice:
         x1 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
         x2 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
         valid = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))
-        thr = jnp.asarray(2500.0, jnp.float32)
+        thr = jnp.asarray(600.0 if kind == "sampson" else 2500.0,
+                          jnp.float32)
         ref = jnp.sum(
-            (geometry.residual_matrix(Hs, x1, x2, "symmetric") < thr)
+            (geometry.residual_matrix(Hs, x1, x2, kind) < thr)
             * valid[None, :], axis=1,
         )
-        got = residual_kernel.inlier_counts_padded(Hs, x1, x2, valid, thr)
+        got = residual_kernel.inlier_counts_padded(
+            Hs, x1, x2, valid, thr, kind=kind
+        )
         d = np.abs(np.asarray(got) - np.asarray(ref))
         assert d.max() <= 2.0, d.max()  # approx-reciprocal boundary ties
         assert d.mean() < 0.5, d.mean()
         got_exact = residual_kernel.inlier_counts_padded(
-            Hs, x1, x2, valid, thr, approx_rcp=False
+            Hs, x1, x2, valid, thr, approx_rcp=False, kind=kind
         )
         d2 = np.abs(np.asarray(got_exact) - np.asarray(ref))
         assert d2.max() <= 1.0, d2.max()
