@@ -63,6 +63,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "pass (overrides --threshold)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--aot", action="store_true",
+                   default=os.environ.get("MULTIH_AOT", "") == "1",
+                   help="load/save jax.export'ed fit programs in the AOT "
+                        "cache (skips Python tracing on later cold starts; "
+                        "see docs/PERF.md 'Cold start'). Also via "
+                        "MULTIH_AOT=1")
     p.add_argument("--json", action="store_true",
                    help="emit machine-readable JSON on stdout")
     p.add_argument("--save-labels", default=None,
@@ -112,13 +118,26 @@ def _fit_one(cs, args):
         gt = None
 
     adaptive = getattr(args, "adaptive_tau", False)
+    use_aot = getattr(args, "aot", False)
+    if use_aot:
+        from multih_tpu.utils import aot
+
+        def _maker(kind):
+            return lambda: aot.cached_fit(cfg, kind)
+    else:
+        def _maker(kind):
+            return {
+                "fit": lambda: multih_tpu.make_fit(cfg),
+                "fit_tau": lambda: multih_tpu.make_fit_tau(cfg),
+                "fit_adaptive": lambda: multih_tpu.make_fit_adaptive(cfg),
+            }[kind]
     if adaptive:
-        f_ad = multih_tpu.make_fit_adaptive(cfg)
+        f_ad = _maker("fit_adaptive")()
 
         def f(x1_, x2_, v_, k_):
             return f_ad(x1_, x2_, v_, k_)
     else:
-        f_fix = multih_tpu.make_fit(cfg)
+        f_fix = _maker("fit")()
 
         def f(x1_, x2_, v_, k_):
             return f_fix(x1_, x2_, v_, k_), None
@@ -138,7 +157,7 @@ def _fit_one(cs, args):
     # restart — each pass re-calibrating its own tau would make the
     # energies incomparable (different data-cost scales).
     if args.restarts > 1 and adaptive:
-        f_restart = multih_tpu.make_fit_tau(cfg)
+        f_restart = _maker("fit_tau")()
     else:
         def f_restart(x1_, x2_, v_, k_, _tau):
             return f(x1_, x2_, v_, k_)[0]
