@@ -23,12 +23,19 @@ def _stress_cfg(n_points, n_hyp, **kw):
     progressive rounds for claims per round: rounds=2 x R=8 claims is
     both faster (34 vs 37 ms device) and equally accurate at this scale
     (A/B in docs/PERF.md); the accuracy-first default (rounds=4, R=1)
-    stays for benchmark-suite-sized scenes."""
+    stays for benchmark-suite-sized scenes. verify_subsample=8 ranks
+    the 102k pool on a 1280-point Morton subsample and rescores the
+    top-1024 full-res (34.2 -> 23.0 ms device; planes and miscls
+    identical-to-better across scene seeds — A/B in docs/PERF.md).
+    The throughput/kernel benches below call count_inliers directly at
+    full resolution, so their 'verified hypotheses/s' semantics are
+    unaffected by this fit-level knob."""
     import multih_tpu
 
     return multih_tpu.MultiHConfig(
         max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
-        progressive_rounds=2, claims_per_round=8, **kw,
+        progressive_rounds=2, claims_per_round=8, verify_subsample=8,
+        **kw,
     )
 
 

@@ -81,6 +81,27 @@ class MultiHConfig:
                                         # selection only — claim masks
                                         # and all verification stay
                                         # full-resolution); 1 = off
+    verify_subsample: int = 1           # stride for the full-pool
+                                        # verification RANKING counts
+                                        # (Morton-strided = spatially
+                                        # uniform): the top
+                                        # verify_rescore*n_candidates
+                                        # hypotheses by subsampled count
+                                        # are then rescored at FULL
+                                        # resolution before the top-M
+                                        # pick, so selected candidates
+                                        # always carry exact counts.
+                                        # 1 = off (default: exact
+                                        # ranking). The S x N sweep is
+                                        # the largest stress stage
+                                        # (docs/PERF.md); stride 4 cuts
+                                        # it ~4x for ~0.4% of its cost
+                                        # in rescoring.
+    verify_rescore: int = 4             # superset factor M_pre =
+                                        # verify_rescore * n_candidates
+                                        # for the full-res rescore pass
+                                        # (only used when
+                                        # verify_subsample > 1)
     knn_approx: bool = True             # lax.approx_max_k (recall 0.98,
                                         # TPU-native) instead of exact
                                         # top_k in the k-NN builds; the

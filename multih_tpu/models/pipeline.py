@@ -406,11 +406,22 @@ def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
             slot_loc = jnp.concatenate(
                 [slot_loc, eslot.astype(jnp.int32)], axis=0
             )
+        # cfg.verify_subsample > 1: the local ranking sweep runs on the
+        # (replicated) Morton-strided subsample and each shard surfaces
+        # the larger M_pre pre-selection; the exact-count rescore of the
+        # gathered global M_pre set runs replicated (M_pre x N — ~1% of
+        # the pool sweep), so the final top-M carries exact counts and
+        # stays bit-compatible with the unsharded two-stage pick (the
+        # gathered lexsort order equals unsharded top_k's stable
+        # (count desc, slot asc) order, and the rescore+top_k below is
+        # the identical computation on every shard).
+        vs = max(1, cfg.verify_subsample)
+        m_sel = min(cfg.verify_rescore * m, s_total) if vs > 1 else m
         with jax.named_scope("verify"):
             counts = count_inliers(
-                Hs_loc, x1, x2, valid, cfg, tau_arr
+                Hs_loc, x1[::vs], x2[::vs], valid[::vs], cfg, tau_arr
             ) * ok_loc
-        m_loc = min(m, counts.shape[0])
+        m_loc = min(m_sel, counts.shape[0])
         c_loc, i_loc = jax.lax.top_k(counts, m_loc)
         # M (count, slot, H) triples per device on ICI; top-M replicated.
         # lexsort (count desc, slot asc) == lax.top_k's stable tie order
@@ -418,8 +429,18 @@ def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
         c_all = jax.lax.all_gather(c_loc, "hyp").reshape(-1)
         s_all = jax.lax.all_gather(slot_loc[i_loc], "hyp").reshape(-1)
         h_all = jax.lax.all_gather(Hs_loc[i_loc], "hyp").reshape(-1, 3, 3)
-        order = jnp.lexsort((s_all, -c_all))[:m]
         n_ok = jax.lax.psum(jnp.sum(ok_loc), "hyp")
+        if vs > 1:
+            o_all = jax.lax.all_gather(ok_loc[i_loc], "hyp").reshape(-1)
+            order = jnp.lexsort((s_all, -c_all))[:m_sel]
+            h_pre = h_all[order]
+            with jax.named_scope("verify_rescore"):
+                counts_full = count_inliers(
+                    h_pre, x1, x2, valid, cfg, tau_arr
+                ) * o_all[order]
+            c_fin, sel = jax.lax.top_k(counts_full, m)
+            return c_fin, h_pre[sel], n_ok
+        order = jnp.lexsort((s_all, -c_all))[:m]
         return c_all[order], h_all[order], n_ok
 
     fn = shard_map(
@@ -805,10 +826,33 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         if extra_Hs:
             Hs_all = jnp.concatenate([Hs_all] + extra_Hs, axis=0)
             ok = jnp.concatenate([ok] + extra_ok, axis=0)
-        # C6: verification sweep + top-M candidate pick
+        # C6: verification sweep + top-M candidate pick. With
+        # cfg.verify_subsample > 1 the (S, N) ranking sweep runs on a
+        # Morton-strided point subsample (spatially uniform after the
+        # fit's spatial sort) and only the top M_pre superset is
+        # rescored at full resolution — selected candidates always
+        # carry exact counts (same pattern as claim_subsample).
+        vs = max(1, cfg.verify_subsample)
         with jax.named_scope("verify"):
-            counts = count_inliers(Hs_all, x1, x2, valid, cfg, tau) * ok
-            top_counts, top_idx = jax.lax.top_k(counts, cfg.n_candidates)
+            counts = count_inliers(
+                Hs_all, x1[::vs], x2[::vs], valid[::vs], cfg, tau
+            ) * ok
+            if vs > 1:
+                m_pre = min(
+                    cfg.verify_rescore * cfg.n_candidates, counts.shape[0]
+                )
+                _, pre_idx = jax.lax.top_k(counts, m_pre)
+                counts_full = count_inliers(
+                    Hs_all[pre_idx], x1, x2, valid, cfg, tau
+                ) * ok[pre_idx]
+                top_counts, sel = jax.lax.top_k(
+                    counts_full, cfg.n_candidates
+                )
+                top_idx = pre_idx[sel]
+            else:
+                top_counts, top_idx = jax.lax.top_k(
+                    counts, cfg.n_candidates
+                )
         Hs_cand = Hs_all[top_idx]
         n_hyp_ok = jnp.sum(ok)
 

@@ -65,6 +65,27 @@ class TestExactRecovery:
         assert int(np.asarray(res.active).sum()) == 1
         assert err < 3.0, err
 
+    def test_verify_subsample_two_stage(self, small_cfg):
+        """cfg.verify_subsample > 1: pool ranking on a Morton-strided
+        subsample with full-res rescoring of the top superset must
+        recover the same scene structure as exact ranking (the selected
+        candidates always carry exact counts by construction)."""
+        import dataclasses
+
+        cs, _ = data.synthetic_scene(
+            n_points=400, n_planes=3, outlier_rate=0.2, noise_px=0.5,
+            seed=7,
+        )
+        res_ref, err_ref = fit_scene(cs, small_cfg)
+        cfg_ss = dataclasses.replace(
+            small_cfg, verify_subsample=4, verify_rescore=4
+        )
+        res_ss, err_ss = fit_scene(cs, cfg_ss)
+        assert int(np.asarray(res_ss.active).sum()) == int(
+            np.asarray(res_ref.active).sum()
+        )
+        assert err_ss < err_ref + 1.0, (err_ss, err_ref)
+
     def test_all_outliers_finds_nothing(self, small_cfg):
         rng = np.random.default_rng(5)
         cs = data.CorrespondenceSet(

@@ -143,12 +143,23 @@ class TestHypothesisSharding:
 
 
 class TestHypShardedFullFit:
-    def test_full_fit_hyp_sharded_parity(self, tiny_cfg, pairs):
+    @pytest.mark.parametrize("verify_subsample", [1, 4])
+    def test_full_fit_hyp_sharded_parity(self, tiny_cfg, pairs,
+                                         verify_subsample):
         """P3 integrated: the FULL fit with its verification + top-M sharded
         over the hypothesis axis matches the single-device fit exactly
-        (same key -> same pool -> same candidates -> same PEARL run)."""
+        (same key -> same pool -> same candidates -> same PEARL run) —
+        including the two-stage subsampled-ranking + full-res-rescore
+        verification (verify_subsample=4), whose gathered pre-selection
+        reproduces the unsharded superset and whose rescore+top_k is the
+        identical replicated computation."""
+        import dataclasses
+
         import jax.numpy as jnp
 
+        tiny_cfg = dataclasses.replace(
+            tiny_cfg, verify_subsample=verify_subsample
+        )
         mesh = sharding.make_mesh(jax.devices()[:8], pair_axis=1)
         assert mesh.shape["hyp"] == 8
         cs = pairs[2]
