@@ -35,7 +35,7 @@ def _stress_cfg(n_points, n_hyp, **kw):
     return multih_tpu.MultiHConfig(
         max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
         progressive_rounds=2, claims_per_round=8, verify_subsample=8,
-        **kw,
+        claim_subsample=8, **kw,
     )
 
 
