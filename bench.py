@@ -29,9 +29,15 @@ def _stress_cfg(n_points, n_hyp, **kw):
     identical-to-better across scene seeds — A/B in docs/PERF.md).
     The throughput/kernel benches below call count_inliers directly at
     full resolution, so their 'verified hypotheses/s' semantics are
-    unaffected by this fit-level knob."""
+    unaffected by this fit-level knob. pearl_iterations=5: the claim
+    rounds hand PEARL an already-correct structure at this scale — the
+    energy trace is flat from iteration 3 (A/B in docs/PERF.md), so 5
+    keeps two converged iterations of margin while dropping three
+    no-op sweeps (19.3 -> 18.4 ms; accuracy identical on 3 scene
+    seeds)."""
     import multih_tpu
 
+    kw.setdefault("pearl_iterations", 5)
     return multih_tpu.MultiHConfig(
         max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
         progressive_rounds=2, claims_per_round=8, verify_subsample=8,
