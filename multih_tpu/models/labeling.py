@@ -306,6 +306,48 @@ def build_banded_adjacency(
     n, k = nbr_idx.shape
     assert n % block == 0, (n, block)
     nb = n // block
+    if far_capacity == 0:
+        # Scatter-free build for window-constrained graphs (every edge of
+        # knn_graph_windowed lies in its row's 3B window by construction).
+        # The general path's (2*N*k)-element scatter is per-index-latency
+        # bound (traced at ~1.05 ms/fit at stress scale); here the forward
+        # half is a regular per-row one-hot reduce and the reverse half is
+        # the block-transpose of the forward band:
+        #   band_f[b] = [L_b, M_b, R_b]  (B x B blocks)
+        #   band of W^T at row b = [R_{b-1}^T, M_b^T, L_{b+1}^T]
+        # so the symmetrized band is band_f + roll/transpose(band_f) — no
+        # scatter anywhere. Wrap rows contribute zero: L_0 and R_{nb-1}
+        # hold edges into out-of-range blocks, whose weights are zeroed by
+        # the in-band mask (and never exist for windowed graphs). Any
+        # out-of-window edge (impossible for windowed graphs) is dropped
+        # and counted in n_dropped — same contract as capacity overflow.
+        blk_row = jnp.arange(n, dtype=jnp.int32)[:, None] // block
+        col = nbr_idx.astype(jnp.int32) - (blk_row - 1) * block  # (N, k)
+        in_band = (col >= 0) & (col < 3 * block)
+        w_f = jnp.where(in_band, 0.5 * nbr_w, 0.0)
+        col = jnp.clip(col, 0, 3 * block - 1)
+        oh = col[:, :, None] == jnp.arange(3 * block, dtype=jnp.int32)
+        band_f = jnp.sum(w_f[:, :, None] * oh.astype(nbr_w.dtype), axis=1)
+        band_f = band_f.reshape(nb, block, 3 * block)
+        l_blk = band_f[:, :, :block]
+        m_blk = band_f[:, :, block:2 * block]
+        r_blk = band_f[:, :, 2 * block:]
+        band = band_f + jnp.concatenate(
+            [jnp.roll(jnp.swapaxes(r_blk, 1, 2), 1, axis=0),
+             jnp.swapaxes(m_blk, 1, 2),
+             jnp.roll(jnp.swapaxes(l_blk, 1, 2), -1, axis=0)], axis=2,
+        )
+        deg = band.sum(axis=2).reshape(n)
+        # x2: the scatter path counts each dropped edge in both directions
+        n_dropped = 2 * jnp.sum(
+            (jnp.logical_not(in_band) & (nbr_w > 0)).astype(jnp.int32)
+        )
+        empty_i = jnp.zeros((0,), jnp.int32)
+        return BandedAdjacency(
+            band=band.astype(band_dtype), far_out=empty_i, far_in=empty_i,
+            far_w=jnp.zeros((0,), nbr_w.dtype), deg=deg[:, None],
+            n_dropped=n_dropped,
+        )
     if far_capacity is None:
         # measured worst case at block=256 on Morton-ordered stress data is
         # ~0.45N (A/B in docs/PERF.md); the fixup's gather/scatter cost is
@@ -407,14 +449,17 @@ def total_energy(
     active: jax.Array,
     adj: BandedAdjacency | None = None,
 ) -> jax.Array:
-    """E(L) exactly as the reference's PEARL objective (SURVEY.md §2 C9)."""
-    point_cost = jnp.take_along_axis(dcost, labels[:, None], axis=1)[:, 0]
-    e_data = jnp.sum(point_cost)
+    """E(L) exactly as the reference's PEARL objective (SURVEY.md §2 C9).
+
+    Label-axis selection and the used-label histogram run as one-hot
+    contractions/compares, not take_along_axis/scatter-add: both gathers
+    traced at ~10x the contraction's cost inside the PEARL loop."""
+    oh = jax.nn.one_hot(labels, dcost.shape[1], dtype=dcost.dtype)
+    e_data = jnp.sum(oh * dcost)
     e_smooth = spatial_weight * _potts(labels, nbr_idx, nbr_w, adj, dcost)
-    n_labels = labels.shape[0]
     k = dcost.shape[1] - 1
-    used = jnp.zeros((k + 1,)).at[labels].add(jnp.ones((n_labels,)))
-    e_label = label_cost * jnp.sum((used[:k] > 0) * (active > 0))
+    used = jnp.any(labels[:, None] == jnp.arange(k)[None, :], axis=0)
+    e_label = label_cost * jnp.sum(used * (active > 0))
     return e_data + e_smooth + e_label
 
 
@@ -623,8 +668,8 @@ def mrf_energy(
     adj: BandedAdjacency | None = None,
 ) -> jax.Array:
     """data + lambda*Potts energy of a labeling (no label-cost term)."""
-    point = jnp.take_along_axis(dcost, labels[:, None], axis=1)[:, 0]
-    return jnp.sum(point) + spatial_weight * _potts(
+    oh = jax.nn.one_hot(labels, dcost.shape[1], dtype=dcost.dtype)
+    return jnp.sum(oh * dcost) + spatial_weight * _potts(
         labels, nbr_idx, nbr_w, adj, dcost
     )
 

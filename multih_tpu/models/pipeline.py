@@ -653,15 +653,13 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     dcost_now = labeling.data_costs(
         r_acc, valid, thr, cfg.outlier_cost, active
     )
-    member = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k]
-    member = member * valid[:, None] * active[None, :]
-    # runner-up: cheapest alternative label per point, excluding its own
-    own = jnp.take_along_axis(
-        dcost_now, labels[:, None], axis=1
-    )[:, 0]
-    masked = dcost_now.at[
-        jnp.arange(labels.shape[0]), labels
-    ].set(jnp.inf)
+    oh_lab = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)  # (N, K+1)
+    member = oh_lab[:, :k] * valid[:, None] * active[None, :]
+    # runner-up: cheapest alternative label per point, excluding its own.
+    # One-hot select + where, not take_along_axis + .at[].set: the label-
+    # axis gather and the aliased scatter traced at ~1.3 ms/fit combined.
+    own = jnp.sum(oh_lab * dcost_now, axis=1)
+    masked = jnp.where(oh_lab > 0, jnp.inf, dcost_now)
     runner = jnp.min(masked, axis=1)
     switch_cost = jnp.sum(
         (runner - own)[:, None] * member, axis=0
