@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--candidates", type=int, default=256)
     ap.add_argument("--labels", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--window-sampling", action="store_true",
+                    help="profile with cfg.window_sampling (MXU window "
+                         "gather in hypothesize)")
     ap.add_argument("--no-trace", action="store_true",
                     help="skip the jax.profiler trace (stage table only)")
     ap.add_argument("--platform", default=None)
@@ -77,7 +80,7 @@ def main():
     cfg = multih_tpu.MultiHConfig(
         max_points=n_pad, n_hypotheses=args.hypotheses,
         n_candidates=args.candidates, max_labels=args.labels,
-        residual_chunk=args.chunk,
+        residual_chunk=args.chunk, window_sampling=args.window_sampling,
     )
     n_planes = 8 if args.points > 2048 else 3
     outl = 0.7 if args.points > 2048 else 0.15
@@ -170,9 +173,16 @@ def main():
                   labeling.build_banded_adjacency(
                       nbr_idx, c, cfg.agree_block).deg.sum(), nbr_w)
 
+    # mirror fit()'s window-sampling gate so the stage reflects the
+    # production path when cfg.window_sampling is set
+    wblock = (
+        cfg.agree_block
+        if use_adj and cfg.knn_window and cfg.window_sampling else 0
+    )
+
     def hyp_step(c):
         Hs, ok = pipeline.generate_hypotheses(
-            key, c, x2, valid, nbr_idx, cfg
+            key, c, x2, valid, nbr_idx, cfg, window_block=wblock
         )
         return c + fb * ok.sum()
     scan_time("hypothesize(+claims)", hyp_step, x1)

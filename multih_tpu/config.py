@@ -122,6 +122,21 @@ class MultiHConfig:
                                         # construction — the basis of the
                                         # fused MRF kernel. False restores
                                         # the full-range k-NN search.
+    window_sampling: bool = False       # window-stratified minimal
+                                        # sampling: each sample draws its
+                                        # 4 points inside a static Morton
+                                        # window and the coordinate gather
+                                        # runs as per-window one-hot MXU
+                                        # contractions instead of a
+                                        # 4S-index XLA row gather
+                                        # (sampling.windowed_quadruples;
+                                        # ~4.4 ms -> sub-ms at the stress
+                                        # shape, docs/PERF.md). Needs the
+                                        # windowed k-NN gate to hold and
+                                        # n_hypotheses per round divisible
+                                        # by N/agree_block; default off —
+                                        # the stress bench configs enable
+                                        # it after the accuracy A/B.
     refit_moments: bool = True          # batched weighted DLT refits via
                                         # the 30-moment matmul formulation
                                         # (geometry.homography_refit_batch)

@@ -148,6 +148,14 @@ def _solve_minimal(x1, x2, avail, idx, cfg: MultiHConfig):
     )  # (N, 8)
     g = packed_src[idx]                    # (S, 4, 8): one gather
     gt = g.reshape(s, 32).T                # (32, S): dense on lanes
+    return _solve_from_gt(gt, cfg)
+
+
+def _solve_from_gt(gt, cfg: MultiHConfig):
+    """Shared solve tail: (32, S) coordinate-major rows (row 8q+c =
+    channel c of quadruple point q; channel 4 = avail at the point) ->
+    (Hs, ok). Fed either by `_solve_minimal`'s row gather or by
+    `sampling.windowed_quadruples`' MXU window gather."""
     row = lambda q, c: gt[8 * q + c]       # point q, channel c -> (S,)
     x1x = jnp.stack([row(q, 0) for q in range(4)])  # (4, S)
     x1y = jnp.stack([row(q, 1) for q in range(4)])
@@ -159,7 +167,7 @@ def _solve_minimal(x1, x2, avail, idx, cfg: MultiHConfig):
         (row(0, 4) == 0) | (row(1, 4) == 0)
         | (row(2, 4) == 0) | (row(3, 4) == 0)
     )
-    ok = jnp.logical_not(degenerate | uses_pad).astype(x1.dtype)
+    ok = jnp.logical_not(degenerate | uses_pad).astype(gt.dtype)
     if _pallas_enabled(cfg):
         # SURVEY.md §7 stage 7b: batch-on-lanes Pallas solve — the vmapped
         # QR pads the 9-wide matrices to 128 lanes and is ~20x slower at
@@ -177,7 +185,7 @@ def _solve_minimal(x1, x2, avail, idx, cfg: MultiHConfig):
 
 
 def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
-                        tau=None, shard=None):
+                        tau=None, shard=None, window_block=0):
     """C5 + C7 seeding: threefry-sampled minimal 4-pt DLT solves, fully
     vmapped, in `cfg.progressive_rounds` progressive guided rounds.
 
@@ -228,16 +236,35 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         # (branch-free: blend by the predicate)
         enough = (jnp.sum(avail) >= 16.0).astype(x1.dtype)
         avail = avail * enough + valid * (1.0 - enough)
-        nbr_ok = avail[nbr_idx]
         n_s = s_rem if r == rounds - 1 else s_round
-        idx = _round_sample_indices(keys[r], avail, nbr_idx, nbr_ok, n_s)
-        if shard is not None:
-            s_loc = n_s // n_shards
-            assert s_loc * n_shards == n_s, (n_s, n_shards)
-            idx = jax.lax.dynamic_slice(idx, (d * s_loc, 0), (s_loc, 4))
-        else:
+        use_win = (
+            window_block > 0 and shard is None
+            and n_s % (x1.shape[0] // window_block) == 0
+        )
+        if use_win:
+            # window-stratified sampling + MXU window gather: replaces
+            # the 4S-index row gather AND the avail[nbr_idx] edge-mask
+            # gather (docs/PERF.md "Remaining headroom")
             s_loc = n_s
-        Hs_r, ok_r = _solve_minimal(x1, x2, avail, idx, cfg)
+            gt = sampling.windowed_quadruples(
+                keys[r], x1, x2, avail, nbr_idx, n_s, window_block,
+                use_kernel=_pallas_enabled(cfg),
+            )
+            Hs_r, ok_r = _solve_from_gt(gt, cfg)
+        else:
+            nbr_ok = avail[nbr_idx]
+            idx = _round_sample_indices(
+                keys[r], avail, nbr_idx, nbr_ok, n_s
+            )
+            if shard is not None:
+                s_loc = n_s // n_shards
+                assert s_loc * n_shards == n_s, (n_s, n_shards)
+                idx = jax.lax.dynamic_slice(
+                    idx, (d * s_loc, 0), (s_loc, 4)
+                )
+            else:
+                s_loc = n_s
+            Hs_r, ok_r = _solve_minimal(x1, x2, avail, idx, cfg)
         pools.append(Hs_r)
         oks.append(ok_r)
         slots.append(base + d * s_loc + jnp.arange(s_loc))
@@ -819,7 +846,11 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     else:
         with jax.named_scope("hypothesize"):
             Hs_all, ok = generate_hypotheses(
-                k_gen, x1, x2, valid, nbr_sample, cfg, tau
+                k_gen, x1, x2, valid, nbr_sample, cfg, tau,
+                window_block=(
+                    cfg.agree_block
+                    if windowed and cfg.window_sampling else 0
+                ),
             )
         if extra_Hs:
             Hs_all = jnp.concatenate([Hs_all] + extra_Hs, axis=0)

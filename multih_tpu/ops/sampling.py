@@ -109,3 +109,158 @@ def localized_sample_indices(
     _, slots = jax.lax.top_k(g, 3)  # (S, 3) distinct slots
     picked = jnp.take_along_axis(nbr_idx[seeds], slots, axis=1)  # (S, 3)
     return jnp.concatenate([seeds[:, None], picked], axis=1)
+
+
+def _window_roll(a: jax.Array, block: int) -> jax.Array:
+    """(N, C) -> (nb, 3B, C): each row's 3-block Morton window, same roll
+    layout as labeling.knn_graph_windowed (left third = previous block,
+    wrapped at the edges; the wrap thirds are neutralized by the zeroed
+    availability channel, never by branching)."""
+    n, c = a.shape
+    nb = n // block
+    ab = a.reshape(nb, block, c)
+    return jnp.concatenate(
+        [jnp.roll(ab, 1, axis=0), ab, jnp.roll(ab, -1, axis=0)], axis=1
+    )
+
+
+def windowed_quadruples(
+    key: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    avail: jax.Array,
+    nbr_idx: jax.Array,
+    n_samples: int,
+    block: int,
+    use_kernel: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Window-stratified minimal samples, gathered on the MXU: returns the
+    (32, S) coordinate-major rows `pipeline._solve_minimal` builds (row
+    8q+c = channel c of quadruple point q; channels x1x,x1y,x2x,x2y,avail).
+
+    Replaces the 4S-index XLA row gather (4.4 ms at stress shape,
+    docs/PERF.md) with per-window one-hot contractions
+    (ops/kernels/gather_kernel.py). Each sample is assigned a static
+    Morton window (S/nb samples per window); within its window, half the
+    samples draw 4 distinct points uniformly among AVAILABLE rows
+    (rank-mode selection — never lands on claimed/padded points), half
+    draw an available seed in the window's middle block plus 3 of its
+    k-NN neighbors (the windowed graph guarantees the neighbors lie in
+    the same window). Stratification differences vs the global sampler:
+
+    - seeds/uniform points are uniform per-window, not per-point: blocks
+      with fewer available points get proportionally denser sampling —
+      stratified coverage, A/B'd for accuracy at the stress shape
+      (docs/PERF.md);
+    - neighbor draws don't pre-filter by availability (that lookup is
+      the gather being eliminated); quadruples touching a claimed
+      neighbor are discarded by the solve's avail check exactly as the
+      global path discards them, and claims are spatially coherent, so
+      an available seed's neighbors are mostly available;
+    - windows with no available points yield all-zero columns ->
+      degenerate quads -> ok=0: exhausted regions waste their slots
+      instead of producing wrong samples.
+
+    Requires N % block == 0, n_samples % (N//block) == 0, and a
+    window-constrained nbr_idx (labeling.knn_graph_windowed with the same
+    block). Callers gate on all three.
+    """
+    from multih_tpu.ops.kernels import gather_kernel
+
+    n, k = nbr_idx.shape
+    nb = n // block
+    assert n % block == 0 and n_samples % nb == 0, (n, block, n_samples)
+    sg = n_samples // nb
+    sg_l = sg // 2
+    sg_u = sg - sg_l
+    f32 = jnp.float32
+
+    # windowed source: [x1x x1y x2x x2y avail cum pos nbr_0..k-1], padded
+    # to a multiple of 8 channels
+    base = jnp.concatenate(
+        [x1.astype(f32), x2.astype(f32), avail.astype(f32)[:, None],
+         nbr_idx.astype(f32)], axis=1
+    )  # (N, 5 + k)
+    win = _window_roll(base, block)  # (nb, 3B, 5+k)
+    a_w = win[:, :, 4]
+    # wrap thirds are not part of the window: their rows must never be
+    # rank-selected
+    a_w = a_w.at[0, :block].set(0.0).at[nb - 1, 2 * block:].set(0.0)
+    cum = jnp.cumsum(a_w, axis=1)
+    pos = jnp.broadcast_to(
+        jnp.arange(3 * block, dtype=f32)[None, :], a_w.shape
+    )
+    c_tot = 5 + k + 3
+    pad_c = (-c_tot) % 8
+    win_all = jnp.concatenate(
+        [win[:, :, :4], a_w[:, :, None], cum[:, :, None], pos[:, :, None],
+         win[:, :, 5:]]
+        + ([jnp.zeros((*a_w.shape, pad_c), f32)] if pad_c else []),
+        axis=2,
+    )  # (nb, 3B, C) with avail_ch=4, cum_ch=5, pos_ch=6, nbr at 7..7+k
+
+    m = cum[:, -1].astype(jnp.int32)  # (nb,) available rows per window
+    k_u, k_s, k_n = jax.random.split(key, 3)
+
+    # uniform half: 4 distinct ranks among the window's available rows
+    keys_u = jax.random.split(k_u, nb * sg_u)
+    m_rep = jnp.repeat(m, sg_u)
+    ranks_u = jax.vmap(_draw_without_replacement)(keys_u, m_rep)
+    ranks_u = ranks_u.reshape(nb, sg_u * MINIMAL_SAMPLE)
+
+    # localized half: seed rank confined to the middle block's available
+    # rows [cum[B-1], cum[2B-1]); exhausted middles fall back to the
+    # whole window (branch-free blend)
+    c_lo = cum[:, block - 1].astype(jnp.int32)
+    c_hi = cum[:, 2 * block - 1].astype(jnp.int32)
+    has_mid = c_hi > c_lo
+    lo = jnp.where(has_mid, c_lo, 0)[:, None]
+    hi = jnp.where(has_mid, c_hi, jnp.maximum(m, 1))[:, None]
+    ranks_s = jax.random.randint(k_s, (nb, sg_l), lo, jnp.maximum(hi, lo + 1))
+
+    gather = (
+        (lambda w, s, mode: gather_kernel.window_gather(
+            w, s, mode, interpret=interpret))
+        if use_kernel else gather_kernel.window_gather_reference
+    )
+
+    def pad_t(sel):
+        t = sel.shape[1]
+        pad = (-t) % 512
+        if pad:
+            sel = jnp.concatenate(
+                [sel, jnp.full((nb, pad), -1, sel.dtype)], axis=1
+            )
+        return sel, t
+
+    sel_rank, t_r = pad_t(
+        jnp.concatenate([ranks_u, ranks_s], axis=1).astype(jnp.int32)
+    )
+    out_r = gather(win_all, sel_rank, "rank")[:, :, :t_r]
+    u_part = out_r[:, :8, : sg_u * MINIMAL_SAMPLE]
+    s_part = out_r[:, :, sg_u * MINIMAL_SAMPLE:]
+
+    seed_loc = s_part[:, 6, :]                     # (nb, Sg_l) local pos
+    nbr_rows = jnp.swapaxes(s_part[:, 7:7 + k, :], 1, 2)  # (nb, Sg_l, k)
+    g = jax.random.gumbel(k_n, (nb, sg_l, k))
+    _, slots = jax.lax.top_k(g, 3)                 # (nb, Sg_l, 3)
+    ohk = (slots[..., None] == jnp.arange(k)[None, None, None, :]).astype(f32)
+    picked = jnp.sum(nbr_rows[:, :, None, :] * ohk, axis=-1)  # (nb,Sg_l,3)
+    v_off = ((jnp.arange(nb, dtype=f32) - 1.0) * block)[:, None, None]
+    loc = picked - v_off                           # window-local neighbor
+    quad_loc = jnp.concatenate(
+        [seed_loc[:, :, None], loc], axis=2
+    ).reshape(nb, sg_l * MINIMAL_SAMPLE)
+
+    sel_idx, t_i = pad_t(quad_loc.astype(jnp.int32))
+    out_i = gather(win_all[:, :, :8], sel_idx, "index")[:, :8, :t_i]
+
+    def to_rows(part, s_count):  # (nb, 8, s*4) -> (32, nb*s)
+        return part.reshape(nb, 8, s_count, MINIMAL_SAMPLE).transpose(
+            3, 1, 0, 2
+        ).reshape(32, nb * s_count)
+
+    return jnp.concatenate(
+        [to_rows(u_part, sg_u), to_rows(out_i, sg_l)], axis=1
+    )  # (32, S)
