@@ -237,18 +237,28 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         enough = (jnp.sum(avail) >= 16.0).astype(x1.dtype)
         avail = avail * enough + valid * (1.0 - enough)
         n_s = s_rem if r == rounds - 1 else s_round
+        nb_win = x1.shape[0] // window_block if window_block > 0 else 0
         use_win = (
-            window_block > 0 and shard is None
-            and n_s % (x1.shape[0] // window_block) == 0
+            window_block > 0 and n_s % max(nb_win, 1) == 0
+            and (shard is None or nb_win % n_shards == 0)
         )
         if use_win:
             # window-stratified sampling + MXU window gather: replaces
             # the 4S-index row gather AND the avail[nbr_idx] edge-mask
-            # gather (docs/PERF.md "Remaining headroom")
-            s_loc = n_s
+            # gather (docs/PERF.md "Remaining headroom"). Columns are
+            # window-major, so a shard's window subset IS its contiguous
+            # global slot range — draws replicated, gathers+solves local,
+            # bit-compatible with the unsharded pool (same contract as
+            # the _round_sample_indices path).
+            if shard is not None:
+                s_loc = n_s // n_shards
+                wrange = (d * (nb_win // n_shards), nb_win // n_shards)
+            else:
+                s_loc = n_s
+                wrange = None
             gt = sampling.windowed_quadruples(
                 keys[r], x1, x2, avail, nbr_idx, n_s, window_block,
-                use_kernel=_pallas_enabled(cfg),
+                use_kernel=_pallas_enabled(cfg), window_range=wrange,
             )
             Hs_r, ok_r = _solve_from_gt(gt, cfg)
         else:
@@ -376,7 +386,8 @@ count_inliers_chunked = count_inliers
 
 def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
                                 cfg: MultiHConfig, tau, mesh,
-                                extra_Hs=None, extra_ok=None):
+                                extra_Hs=None, extra_ok=None,
+                                window_block=0):
     """Hypothesis generation AND the verification sweep + top-M, sharded
     over the mesh's 'hyp' axis in one shard_map region (SURVEY.md §2 P3
     inside the full fit — round 3 extends the sharding from verification-
@@ -423,7 +434,7 @@ def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
         with jax.named_scope("hypothesize"):
             Hs_loc, ok_loc, slot_loc = generate_hypotheses(
                 key, x1, x2, valid, nbr, cfg, tau_arr,
-                shard=("hyp", n_shards),
+                shard=("hyp", n_shards), window_block=window_block,
             )
         e_loc = e_hs.shape[0]  # shard_map already sliced the extras
         if e_loc:
@@ -842,6 +853,9 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             k_gen, x1, x2, valid, nbr_sample, cfg, tau, mesh,
             jnp.concatenate(extra_Hs, axis=0) if extra_Hs else None,
             jnp.concatenate(extra_ok, axis=0) if extra_Hs else None,
+            window_block=(
+                cfg.agree_block if windowed and cfg.window_sampling else 0
+            ),
         )
     else:
         with jax.named_scope("hypothesize"):

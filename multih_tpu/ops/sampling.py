@@ -134,6 +134,7 @@ def windowed_quadruples(
     block: int,
     use_kernel: bool = False,
     interpret: bool = False,
+    window_range=None,
 ) -> jax.Array:
     """Window-stratified minimal samples, gathered on the MXU: returns the
     (32, S) coordinate-major rows `pipeline._solve_minimal` builds (row
@@ -161,6 +162,15 @@ def windowed_quadruples(
     - windows with no available points yield all-zero columns ->
       degenerate quads -> ok=0: exhausted regions waste their slots
       instead of producing wrong samples.
+
+    Columns come out window-major — window v owns the contiguous slot
+    range [v*S/nb, (v+1)*S/nb) — so a hypothesis-sharded fit can give
+    each shard a contiguous window subset. `window_range=(w0, nw)` (nw
+    static, w0 may be traced) computes ONLY those nw windows' columns:
+    all RNG draws are replicated counter math over the full window set
+    (cheap), so shard results concatenate bit-identically to the
+    unsharded call — the same replicated-draws/sharded-solves contract
+    as `generate_hypotheses`'s sharded mode.
 
     Requires N % block == 0, n_samples % (N//block) == 0, and a
     window-constrained nbr_idx (labeling.knn_graph_windowed with the same
@@ -218,6 +228,18 @@ def windowed_quadruples(
     lo = jnp.where(has_mid, c_lo, 0)[:, None]
     hi = jnp.where(has_mid, c_hi, jnp.maximum(m, 1))[:, None]
     ranks_s = jax.random.randint(k_s, (nb, sg_l), lo, jnp.maximum(hi, lo + 1))
+    g = jax.random.gumbel(k_n, (nb, sg_l, k))
+
+    # shard subset: draws above are full-window-set counter math on every
+    # shard; only the gathers/solves below run on this shard's windows
+    if window_range is not None:
+        w0, nw = window_range
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, w0, nw, axis=0)
+        win_all, ranks_u, ranks_s, g = map(sl, (win_all, ranks_u, ranks_s, g))
+        w_ids = w0 + jnp.arange(nw, dtype=f32)
+    else:
+        nw = nb
+        w_ids = jnp.arange(nb, dtype=f32)
 
     gather = (
         (lambda w, s, mode: gather_kernel.window_gather(
@@ -230,7 +252,7 @@ def windowed_quadruples(
         pad = (-t) % 512
         if pad:
             sel = jnp.concatenate(
-                [sel, jnp.full((nb, pad), -1, sel.dtype)], axis=1
+                [sel, jnp.full((nw, pad), -1, sel.dtype)], axis=1
             )
         return sel, t
 
@@ -241,26 +263,28 @@ def windowed_quadruples(
     u_part = out_r[:, :8, : sg_u * MINIMAL_SAMPLE]
     s_part = out_r[:, :, sg_u * MINIMAL_SAMPLE:]
 
-    seed_loc = s_part[:, 6, :]                     # (nb, Sg_l) local pos
-    nbr_rows = jnp.swapaxes(s_part[:, 7:7 + k, :], 1, 2)  # (nb, Sg_l, k)
-    g = jax.random.gumbel(k_n, (nb, sg_l, k))
-    _, slots = jax.lax.top_k(g, 3)                 # (nb, Sg_l, 3)
+    seed_loc = s_part[:, 6, :]                     # (nw, Sg_l) local pos
+    nbr_rows = jnp.swapaxes(s_part[:, 7:7 + k, :], 1, 2)  # (nw, Sg_l, k)
+    _, slots = jax.lax.top_k(g, 3)                 # (nw, Sg_l, 3)
     ohk = (slots[..., None] == jnp.arange(k)[None, None, None, :]).astype(f32)
-    picked = jnp.sum(nbr_rows[:, :, None, :] * ohk, axis=-1)  # (nb,Sg_l,3)
-    v_off = ((jnp.arange(nb, dtype=f32) - 1.0) * block)[:, None, None]
+    picked = jnp.sum(nbr_rows[:, :, None, :] * ohk, axis=-1)  # (nw,Sg_l,3)
+    v_off = ((w_ids - 1.0) * block)[:, None, None]
     loc = picked - v_off                           # window-local neighbor
     quad_loc = jnp.concatenate(
         [seed_loc[:, :, None], loc], axis=2
-    ).reshape(nb, sg_l * MINIMAL_SAMPLE)
+    ).reshape(nw, sg_l * MINIMAL_SAMPLE)
 
     sel_idx, t_i = pad_t(quad_loc.astype(jnp.int32))
     out_i = gather(win_all[:, :, :8], sel_idx, "index")[:, :8, :t_i]
 
-    def to_rows(part, s_count):  # (nb, 8, s*4) -> (32, nb*s)
-        return part.reshape(nb, 8, s_count, MINIMAL_SAMPLE).transpose(
+    def to_rows(part, s_count):  # (nw, 8, s*4) -> (32, nw, s)
+        return part.reshape(nw, 8, s_count, MINIMAL_SAMPLE).transpose(
             3, 1, 0, 2
-        ).reshape(32, nb * s_count)
+        ).reshape(32, nw, s_count)
 
+    # window-major columns: window v owns slots [v*sg, (v+1)*sg), its
+    # uniform samples first — a shard's window subset is a contiguous
+    # global slot range
     return jnp.concatenate(
-        [to_rows(u_part, sg_u), to_rows(out_i, sg_l)], axis=1
-    )  # (32, S)
+        [to_rows(u_part, sg_u), to_rows(out_i, sg_l)], axis=2
+    ).reshape(32, nw * sg)

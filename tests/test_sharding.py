@@ -219,3 +219,40 @@ class TestPerPairTau:
         # every pair has 2 planes at 10% outliers — self-calibration must
         # find them
         assert (res.active.sum(axis=1) >= 1).all()
+
+
+class TestWindowSampledSharding:
+    def test_full_fit_window_sampling_hyp_sharded_parity(self):
+        """cfg.window_sampling under the hyp mesh: each shard computes
+        only its contiguous window subset of every round's pool
+        (replicated draws, local gathers+solves) and the sharded fit
+        stays bit-compatible with the single-device fit."""
+        import jax.numpy as jnp
+
+        cfg = multih_tpu.MultiHConfig(
+            max_points=512, n_hypotheses=512, n_candidates=64,
+            max_labels=8, agree_block=64, window_sampling=True,
+        )
+        cs = data.synthetic_scene(480, 2, 0.1, 0.5, seed=5)[0]
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, cfg.max_points
+        )
+        x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+        key = jax.random.key(21)
+
+        mesh = sharding.make_mesh(jax.devices()[:8], pair_axis=1)
+        res_sh = sharding.hyp_sharded_fit(cfg, mesh)(x1, x2, valid, key)
+        res_1 = multih_tpu.make_fit(cfg)(x1, x2, valid, key)
+
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.labels), np.asarray(res_1.labels)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.homographies),
+            np.asarray(res_1.homographies), rtol=2e-4, atol=2e-5,
+        )
+        err = evaluation.misclassification_error(
+            np.asarray(res_sh.labels)[: cs.n_points], cs.gt_labels,
+            cfg.max_labels,
+        )
+        assert err < 5.0, err
