@@ -420,14 +420,29 @@ def data_costs(
     by shape). Padded points get uniform zero cost (they never influence
     anything else because their graph edges carry zero weight).
     """
+    return data_costs_t(
+        residuals, valid, threshold_sq, outlier_cost, active
+    ).T
+
+
+def data_costs_t(
+    residuals: jax.Array,
+    valid: jax.Array,
+    threshold_sq: jax.Array,
+    outlier_cost: float,
+    active: jax.Array,
+) -> jax.Array:
+    """Label-major primitive behind `data_costs`: (K, N) residuals ->
+    (K+1, N) costs with no layout change — points stay on lanes. The
+    (N, K+1) form pads its 17-wide minor dim to 128 lanes (7.5x the
+    bytes of every materialized intermediate); the hot PEARL loop uses
+    this form end to end (docs/PERF.md 'label-major sweeps')."""
     k, n = residuals.shape
-    plane = (
-        jnp.minimum(residuals / threshold_sq, 8.0).T * outlier_cost
-    )  # (N, K): cost == outlier_cost exactly at r = tau
-    plane = plane + (1.0 - active)[None, :] * 1e6
-    out = jnp.full((n, 1), outlier_cost, residuals.dtype)
-    d = jnp.concatenate([plane, out], axis=1)
-    return d * valid[:, None]
+    plane = jnp.minimum(residuals / threshold_sq, 8.0) * outlier_cost
+    plane = plane + (1.0 - active)[:, None] * 1e6
+    out = jnp.full((1, n), outlier_cost, residuals.dtype)
+    d = jnp.concatenate([plane, out], axis=0)
+    return d * valid[None, :]
 
 
 def potts_energy(
@@ -454,11 +469,30 @@ def total_energy(
     Label-axis selection and the used-label histogram run as one-hot
     contractions/compares, not take_along_axis/scatter-add: both gathers
     traced at ~10x the contraction's cost inside the PEARL loop."""
-    oh = jax.nn.one_hot(labels, dcost.shape[1], dtype=dcost.dtype)
-    e_data = jnp.sum(oh * dcost)
-    e_smooth = spatial_weight * _potts(labels, nbr_idx, nbr_w, adj, dcost)
-    k = dcost.shape[1] - 1
-    used = jnp.any(labels[:, None] == jnp.arange(k)[None, :], axis=0)
+    return total_energy_t(
+        labels, dcost.T, nbr_idx, nbr_w, spatial_weight, label_cost,
+        active, adj=adj,
+    )
+
+
+def total_energy_t(
+    labels: jax.Array,
+    dct: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    label_cost: float,
+    active: jax.Array,
+    adj: BandedAdjacency | None = None,
+) -> jax.Array:
+    """Label-major core of `total_energy`: dct is (L, N), the one-hot is
+    built lane-dense as a (L, N) compare (the (N, L) form pads 17 -> 128
+    lanes on TPU)."""
+    l = dct.shape[0]
+    oh = (labels[None, :] == jnp.arange(l)[:, None]).astype(dct.dtype)
+    e_data = jnp.sum(oh * dct)
+    e_smooth = spatial_weight * _potts_t(labels, nbr_idx, nbr_w, adj, dct)
+    used = jnp.any(labels[None, :] == jnp.arange(l - 1)[:, None], axis=1)
     e_label = label_cost * jnp.sum(used * (active > 0))
     return e_data + e_smooth + e_label
 
@@ -550,15 +584,38 @@ def mean_field(
 
     Returns q: (N, L) marginals.
     """
-    n, l = dcost.shape
-    # hot loop runs label-major (L, N): points on lanes, labels on
-    # sublanes — see BandedAdjacency.agree_t
-    dct = dcost.T
+    return mean_field_t(
+        dcost.T, nbr_idx, nbr_w, spatial_weight, iterations, temp_start,
+        temp_end,
+        q_init=None if q_init is None else q_init.T,
+        adj=adj, use_kernel=use_kernel, interpret=interpret,
+    ).T
+
+
+def mean_field_t(
+    dct: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    iterations: int,
+    temp_start: float,
+    temp_end: float,
+    q_init: jax.Array | None = None,
+    adj: BandedAdjacency | None = None,
+    use_kernel: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Label-major core of `mean_field`: dct and q are (L, N) — points on
+    lanes, labels on sublanes (see BandedAdjacency.agree_t) — with no
+    entry/exit transposes, so the PEARL loop can carry q in the hot
+    layout across iterations."""
+    dcost = dct  # dtype/shape source below
+    l, n = dct.shape
 
     if q_init is None:
         q = jax.nn.softmax(-dct, axis=0)
     else:
-        q = q_init.T
+        q = q_init
 
     if iterations <= 1:
         temps = jnp.full((max(iterations, 1),), temp_end, dcost.dtype)
@@ -570,11 +627,10 @@ def mean_field(
         from multih_tpu.ops.kernels import mrf_kernel
 
         base = dct + spatial_weight * adj.deg.T  # (L, N)
-        q = mrf_kernel.mean_field_fused(
+        return mrf_kernel.mean_field_fused(
             q, base, adj.band, 1.0 / temps, spatial_weight,
             interpret=interpret,
         )
-        return q.T
 
     agree_fn, deg = _agree_and_deg_t(nbr_idx, nbr_w, adj, dcost.dtype)
 
@@ -586,7 +642,7 @@ def mean_field(
         return q_new, None
 
     q, _ = jax.lax.scan(body, q, temps)
-    return q.T
+    return q
 
 
 def icm(
@@ -645,14 +701,20 @@ def icm(
 
 
 def _potts(labels, nbr_idx, nbr_w, adj: BandedAdjacency | None, dcost):
+    return _potts_t(labels, nbr_idx, nbr_w, adj, dcost.T)
+
+
+def _potts_t(labels, nbr_idx, nbr_w, adj: BandedAdjacency | None, dct):
     """Potts energy through the active agreement operator: with a banded
     adjacency,  0.5 * sum_i (deg_i - agree_onehot[i, l_i])  — identical to
     the directed-edge sum (each undirected pair contributes w from both
-    ordered directions, halved). Label-major layout (agree_t)."""
+    ordered directions, halved). Label-major layout (agree_t); dct is
+    used for its (L, N) shape/dtype only (the transpose in the (N, L)
+    wrapper is dead code after DCE)."""
     if adj is None:
         return potts_energy(labels, nbr_idx, nbr_w)
-    lab_ids = jnp.arange(dcost.shape[1], dtype=labels.dtype)[:, None]
-    onehot = (labels[None, :] == lab_ids).astype(dcost.dtype)  # (L, N)
+    lab_ids = jnp.arange(dct.shape[0], dtype=labels.dtype)[:, None]
+    onehot = (labels[None, :] == lab_ids).astype(dct.dtype)  # (L, N)
     # one-hot contraction, not take_along_axis (traced: the gather along
     # the label axis costs ~10x the contraction)
     own = jnp.sum(onehot * adj.agree_t(onehot), axis=0)
@@ -668,13 +730,28 @@ def mrf_energy(
     adj: BandedAdjacency | None = None,
 ) -> jax.Array:
     """data + lambda*Potts energy of a labeling (no label-cost term)."""
-    oh = jax.nn.one_hot(labels, dcost.shape[1], dtype=dcost.dtype)
-    return jnp.sum(oh * dcost) + spatial_weight * _potts(
-        labels, nbr_idx, nbr_w, adj, dcost
+    return mrf_energy_t(
+        labels, dcost.T, nbr_idx, nbr_w, spatial_weight, adj=adj
     )
 
 
-def _icm_batch(starts: jax.Array, dcost, spatial_weight, iterations,
+def mrf_energy_t(
+    labels: jax.Array,
+    dct: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    adj: BandedAdjacency | None = None,
+) -> jax.Array:
+    """Label-major core of `mrf_energy` (dct: (L, N))."""
+    l = dct.shape[0]
+    oh = (labels[None, :] == jnp.arange(l)[:, None]).astype(dct.dtype)
+    return jnp.sum(oh * dct) + spatial_weight * _potts_t(
+        labels, nbr_idx, nbr_w, adj, dct
+    )
+
+
+def _icm_batch(starts: jax.Array, dct, spatial_weight, iterations,
                adj: BandedAdjacency, use_kernel: bool = False,
                interpret: bool = False) -> jax.Array:
     """All S restarts polished together, sharing every band read: the
@@ -684,10 +761,10 @@ def _icm_batch(starts: jax.Array, dcost, spatial_weight, iterations,
     docs/PERF.md). Identical per-start results to sequential `icm`
     (parity-tested). With `use_kernel` (TPU + far-free adjacency) all
     half-sweeps run in one fused Pallas launch with the labels resident
-    in VMEM (ops/kernels/mrf_kernel.py). starts: (S, N) -> (S, N)."""
+    in VMEM (ops/kernels/mrf_kernel.py). starts: (S, N), dct: label-major
+    (L, N) costs -> (S, N)."""
     s, n = starts.shape
-    l = dcost.shape[1]
-    dct = dcost.T  # (L, N)
+    l = dct.shape[0]
 
     if use_kernel and _mrf_kernel_ok(adj):
         from multih_tpu.ops.kernels import mrf_kernel
@@ -711,7 +788,7 @@ def _icm_batch(starts: jax.Array, dcost, spatial_weight, iterations,
     lab_ids = jnp.arange(l, dtype=starts.dtype)[None, :, None]  # (1,L,1)
 
     def half(labels, par):
-        onehot = (labels[:, None, :] == lab_ids).astype(dcost.dtype)
+        onehot = (labels[:, None, :] == lab_ids).astype(dct.dtype)
         agree = adj.agree_t(onehot.reshape(s * l, n)).reshape(s, l, n)
         cost = dct[None] + spatial_weight * (deg[None] - agree)  # (S,L,N)
         # argmin over the label axis, unrolled: jnp.argmin on the middle
@@ -783,16 +860,34 @@ def best_labeling(
     fallback the starts stay a sequential Python loop (measured: vmapping
     lowers the gathers to a slower batched form — sequential is ~1.7x
     faster at N=10k)."""
+    return best_labeling_t(
+        starts, dcost.T, nbr_idx, nbr_w, spatial_weight, icm_iterations,
+        adj=adj, use_kernel=use_kernel,
+    )
+
+
+def best_labeling_t(
+    starts: list[jax.Array],
+    dct: jax.Array,
+    nbr_idx: jax.Array,
+    nbr_w: jax.Array,
+    spatial_weight: float,
+    icm_iterations: int,
+    adj: BandedAdjacency | None = None,
+    use_kernel: bool = False,
+) -> jax.Array:
+    """Label-major core of `best_labeling`: dct is (L, N). The banded hot
+    path runs transpose-free; the gather fallback (small N, tests) pays
+    one transpose into the (N, L) reference `icm`."""
     if adj is not None and len(starts) > 1:
         stacked = jnp.stack(starts)  # (S, N)
         polished = _icm_batch(
-            stacked, dcost, spatial_weight, icm_iterations, adj,
+            stacked, dct, spatial_weight, icm_iterations, adj,
             use_kernel=use_kernel,
         )
-        energies = _energies_batch(
-            polished, dcost.T, adj, spatial_weight
-        )
+        energies = _energies_batch(polished, dct, adj, spatial_weight)
         return polished[jnp.argmin(energies)]
+    dcost = dct.T
     polished = [
         icm(s, dcost, nbr_idx, nbr_w, spatial_weight, icm_iterations,
             adj=adj)

@@ -647,15 +647,17 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     second half of the alternation — deactivation is permanent here
     (unlike gco, which keeps pruned labels in the candidate set), so
     planes must be given time to grow to their full support first."""
-    Hs, active, q = carry
+    Hs, active, q = carry  # q is label-major (L, N) across iterations
     thr = _thr(cfg, tau, x1.dtype)
     k = cfg.max_labels
 
     use_k = _pallas_enabled(cfg)
     r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)  # (K, N)
-    dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, active)
-    q = labeling.mean_field(
-        dcost, nbr_idx, nbr_w, cfg.spatial_weight,
+    # everything below runs label-major (L, N): points on lanes — the
+    # (N, L) forms pad L~17 to 128 lanes, 7.5x the bytes per intermediate
+    dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, active)
+    q = labeling.mean_field_t(
+        dct, nbr_idx, nbr_w, cfg.spatial_weight,
         cfg.meanfield_iterations, cfg.temperature_start, cfg.temperature,
         q_init=q, adj=adj, use_kernel=use_k,
     )
@@ -664,9 +666,9 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     # against the outlier field (its updates are local; alpha-expansion's
     # maxflow moves are not) — the data-argmin start nucleates every
     # covered point and lets ICM trim, covering exactly that regime.
-    labels = labeling.best_labeling(
-        [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
-        dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+    labels = labeling.best_labeling_t(
+        [jnp.argmax(q, axis=0), jnp.argmin(dct, axis=0)],
+        dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
         adj=adj, use_kernel=use_k,
     )
 
@@ -688,19 +690,21 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     # PEARL label cost (reference C9's beta * |labels| term): deactivate the
     # plane whose removal lowers the energy the most, if any. Removal gain =
     # beta - sum over members of (runner-up cost - current cost).
-    dcost_now = labeling.data_costs(
+    dct_now = labeling.data_costs_t(
         r_acc, valid, thr, cfg.outlier_cost, active
-    )
-    oh_lab = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)  # (N, K+1)
-    member = oh_lab[:, :k] * valid[:, None] * active[None, :]
+    )  # (K+1, N)
+    oh_lab = (
+        labels[None, :] == jnp.arange(k + 1)[:, None]
+    ).astype(x1.dtype)  # (K+1, N), lane-dense
+    member = oh_lab[:k] * valid[None, :] * active[:, None]
     # runner-up: cheapest alternative label per point, excluding its own.
     # One-hot select + where, not take_along_axis + .at[].set: the label-
     # axis gather and the aliased scatter traced at ~1.3 ms/fit combined.
-    own = jnp.sum(oh_lab * dcost_now, axis=1)
-    masked = jnp.where(oh_lab > 0, jnp.inf, dcost_now)
-    runner = jnp.min(masked, axis=1)
+    own = jnp.sum(oh_lab * dct_now, axis=0)
+    masked = jnp.where(oh_lab > 0, jnp.inf, dct_now)
+    runner = jnp.min(masked, axis=0)
     switch_cost = jnp.sum(
-        (runner - own)[:, None] * member, axis=0
+        (runner - own)[None, :] * member, axis=1
     )  # (K,) extra data cost if plane removed
     gain = cfg.label_cost - switch_cost
     worst = jnp.argmax(jnp.where(active > 0, gain, -jnp.inf))
@@ -719,8 +723,8 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
         (support >= cfg.min_inliers) | keep_small
     ).astype(active.dtype)
 
-    energy = labeling.total_energy(
-        labels, dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.label_cost,
+    energy = labeling.total_energy_t(
+        labels, dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.label_cost,
         active, adj=adj,
     )
     return (Hs, active, q), energy
@@ -921,8 +925,8 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # mean-field of the agreement signal it needs to nucleate sparse
     # fragments against the outlier field.
     r0 = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
-    d0 = labeling.data_costs(r0, valid, thr, cfg.outlier_cost, active)
-    q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=1)
+    d0 = labeling.data_costs_t(r0, valid, thr, cfg.outlier_cost, active)
+    q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=0)  # (L, N)
 
     def step(carry, xs):
         return _pearl_iteration(
@@ -937,10 +941,10 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # final hard assignment (same two-start scheme as the loop)
     with jax.named_scope("finalize"):
         r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
-    dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, active)
-    labels = labeling.best_labeling(
-        [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
-        dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+    dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, active)
+    labels = labeling.best_labeling_t(
+        [jnp.argmax(q, axis=0), jnp.argmin(dct, axis=0)],
+        dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
         adj=adj, use_kernel=_pallas_enabled(cfg),
     )
     # points on inactive planes -> outlier label
@@ -949,8 +953,10 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # padded points -> outlier label
     labels = jnp.where(valid > 0, labels, k).astype(jnp.int32)
 
-    member = jax.nn.one_hot(labels, k + 1, dtype=x1.dtype)[:, :k]
-    support = jnp.sum(member * valid[:, None], axis=0)
+    member = (
+        labels[None, :] == jnp.arange(k)[:, None]
+    ).astype(x1.dtype)  # (K, N), lane-dense
+    support = jnp.sum(member * valid[None, :], axis=1)
 
     if cfg.spatial_sort:
         # scatter labels back to the caller's point order

@@ -269,8 +269,8 @@ class TestBandedAdjacency:
         dcost = jnp.asarray(rng.uniform(0, 1, (n, l)).astype(np.float32))
         s0 = jnp.argmin(dcost, axis=1)
         s1 = jnp.asarray(rng.integers(0, l, n).astype(np.int32))
-        batched = labeling._icm_batch(
-            jnp.stack([s0, s1]), dcost, 0.3, 4, adj
+        batched = labeling._icm_batch(  # private API: label-major costs
+            jnp.stack([s0, s1]), dcost.T, 0.3, 4, adj
         )
         for i, s in enumerate([s0, s1]):
             seq = labeling.icm(s, dcost, nbr_idx, nbr_w, 0.3, 4, adj=adj)

@@ -124,8 +124,8 @@ class TestFusedIcm:
                 jnp.int32,
             ),
         ])
-        ref = labeling._icm_batch(starts, dcost, 0.1, 2, adj)
-        got = labeling._icm_batch(starts, dcost, 0.1, 2, adj,
+        ref = labeling._icm_batch(starts, dcost.T, 0.1, 2, adj)
+        got = labeling._icm_batch(starts, dcost.T, 0.1, 2, adj,
                                   use_kernel=True, interpret=True)
         assert (np.asarray(ref) == np.asarray(got)).all()
 
@@ -139,8 +139,8 @@ class TestFusedIcm:
         # interpret flag is not threaded through best_labeling (the TPU
         # path compiles the kernel); emulate by calling _icm_batch the
         # same way best_labeling does
-        polished = labeling._icm_batch(
-            jnp.stack(starts), dcost, 0.1, 2, adj, use_kernel=True,
+        polished = labeling._icm_batch(  # private API: label-major costs
+            jnp.stack(starts), dcost.T, 0.1, 2, adj, use_kernel=True,
             interpret=True,
         )
         energies = labeling._energies_batch(polished, dcost.T, adj, 0.1)

@@ -228,3 +228,56 @@ class TestFullFitCpuTpuAgreement:
               f"agreement {agree:.2f}%")
         assert err_t < 3.0, err_t
         assert agree >= 97.0, agree
+
+
+class TestWindowGatherOnDevice:
+    @pytest.mark.parametrize("mode", ["index", "rank"])
+    def test_kernel_matches_reference(self, rng, mode):
+        """The MXU one-hot window gather (compiled, not interpret) vs the
+        jnp searchsorted/take reference, both selection modes."""
+        from multih_tpu.ops.kernels import gather_kernel
+
+        nb, block, c = 4, 128, 16
+        rows = 3 * block
+        win = rng.standard_normal((nb, rows, c)).astype(np.float32)
+        avail = (rng.uniform(size=(nb, rows)) < 0.6).astype(np.float32)
+        avail[0, :block] = 0.0
+        avail[-1, 2 * block:] = 0.0
+        win[:, :, 4] = avail
+        win[:, :, 5] = np.cumsum(avail, axis=1)
+        win = jnp.asarray(win)
+        hi = rows if mode == "index" else int(avail.sum(1).max()) + 8
+        sel = jnp.asarray(
+            rng.integers(-2, hi, size=(nb, 1024)).astype(np.int32)
+        )
+        ref = gather_kernel.window_gather_reference(win, sel, mode)
+        out = gather_kernel.window_gather(win, sel, mode)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=0
+        )
+
+    def test_windowed_fit_matches_reference_gather_path(self, rng):
+        """End to end on device: windowed_quadruples with the Pallas
+        gather (the production TPU path) vs the jnp reference gather,
+        same draws — bit-identical (32, S) packings."""
+        from multih_tpu.ops import sampling
+
+        n, block, s = 1024, 256, 128
+        pts = np.sort(rng.uniform(0, 640, (n,)).astype(np.float32))
+        x1 = jnp.stack(
+            [jnp.asarray(pts), jnp.asarray(rng.uniform(0, 480, n)
+                                           .astype(np.float32))], axis=1
+        )
+        x2 = x1 + 2.0
+        avail = jnp.asarray(
+            (rng.uniform(size=n) < 0.7).astype(np.float32)
+        )
+        nbr_idx, _ = labeling.knn_graph_windowed(
+            x1, jnp.ones((n,), jnp.float32), 8, block
+        )
+        args = (jax.random.key(3), x1, x2, avail, nbr_idx, s, block)
+        ref = sampling.windowed_quadruples(*args, use_kernel=False)
+        out = sampling.windowed_quadruples(*args, use_kernel=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=1e-6
+        )
