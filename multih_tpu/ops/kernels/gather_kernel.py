@@ -50,7 +50,7 @@ _TT = 512
 
 def _gather_kernel(win_ref, sel_ref, out_ref, *, mode, avail_ch, cum_ch):
     win = win_ref[0]                      # (3B, C) f32
-    sel = sel_ref[...]                    # (1, TT) int32
+    sel = sel_ref[0]                      # (1, TT) int32
     rows = win.shape[0]
     if mode == "index":
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, sel.shape[1]), 0)
@@ -60,9 +60,13 @@ def _gather_kernel(win_ref, sel_ref, out_ref, *, mode, avail_ch, cum_ch):
         c = win[:, cum_ch][:, None]
         r1 = sel.astype(jnp.float32) + 1.0
         oh = (a > 0.0) & (c == r1)        # exactly the r-th available row
+    # HIGHEST: the MXU's default bf16 pass rounds win's mantissa (8 bits)
+    # and the gather must be bit-exact — with bf16x3 each fp32 source row
+    # times an exact 0/1 one-hot column reassembles exactly.
     out_ref[0] = jax.lax.dot_general(
         win, oh.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                      # (C, TT)
 
 
@@ -83,17 +87,21 @@ def window_gather(win_src: jax.Array, sel: jax.Array, mode: str = "index",
     kern = functools.partial(
         _gather_kernel, mode=mode, avail_ch=avail_ch, cum_ch=cum_ch
     )
+    # sel rides as (nb, 1, T): Mosaic requires the block's sublane dim to
+    # be a multiple of 8 OR equal to the array dim — a (1, TT) block over
+    # (nb, T) violates that whenever nb % 8 != 0, while (1, 1, TT) over
+    # (nb, 1, T) always satisfies it (sublane block 1 == array dim 1).
     return pl.pallas_call(
         kern,
         grid=(nb, t // _TT),
         in_specs=[
             pl.BlockSpec((1, rows, c), lambda v, j: (v, 0, 0)),
-            pl.BlockSpec((1, _TT), lambda v, j: (v, j)),
+            pl.BlockSpec((1, 1, _TT), lambda v, j: (v, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, c, _TT), lambda v, j: (v, 0, j)),
         out_shape=jax.ShapeDtypeStruct((nb, c, t), jnp.float32),
         interpret=interpret,
-    )(win_src, sel.astype(jnp.int32))
+    )(win_src, sel.astype(jnp.int32)[:, None, :])
 
 
 def window_gather_reference(win_src: jax.Array, sel: jax.Array,
