@@ -34,10 +34,16 @@ def _stress_cfg(n_points, n_hyp, **kw):
     energy trace is flat from iteration 3 (A/B in docs/PERF.md), so 5
     keeps two converged iterations of margin while dropping three
     no-op sweeps (19.3 -> 18.4 ms; accuracy identical on 3 scene
-    seeds)."""
+    seeds). window_sampling=True: the minimal-sample gather was the
+    largest single remaining item (4.4 ms per-index-latency floor of
+    XLA row gather); window-stratified draws feed the MXU one-hot
+    gather kernel instead (15.6 -> 11.7 ms device; planes 8/8 and
+    miscls within noise on all 3 scene seeds —
+    benchmarks/ab_window_sampling.py)."""
     import multih_tpu
 
     kw.setdefault("pearl_iterations", 5)
+    kw.setdefault("window_sampling", True)
     return multih_tpu.MultiHConfig(
         max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
         progressive_rounds=2, claims_per_round=8, verify_subsample=8,
