@@ -39,11 +39,17 @@ def _stress_cfg(n_points, n_hyp, **kw):
     XLA row gather); window-stratified draws feed the MXU one-hot
     gather kernel instead (15.6 -> 11.7 ms device; planes 8/8 and
     miscls within noise on all 3 scene seeds —
-    benchmarks/ab_window_sampling.py)."""
+    benchmarks/ab_window_sampling.py). rank_residual='transfer': the
+    ranking-only sweeps (claim pick, verify pre-pass) drop the
+    adjugate back-projection — final candidate counts stay exact
+    'symmetric' via the full-res rescore (11.7 -> 10.0 ms device;
+    planes 8/8 and miscls within noise on all 3 seeds —
+    benchmarks/ab_rank_residual.py)."""
     import multih_tpu
 
     kw.setdefault("pearl_iterations", 5)
     kw.setdefault("window_sampling", True)
+    kw.setdefault("rank_residual", "transfer")
     return multih_tpu.MultiHConfig(
         max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
         progressive_rounds=2, claims_per_round=8, verify_subsample=8,

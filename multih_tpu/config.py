@@ -27,6 +27,14 @@ class MultiHConfig:
     # --- geometry / residuals (reference C6) ---
     inlier_threshold: float = 3.0       # px; squared internally
     residual: Literal["symmetric", "transfer", "sampson"] = "symmetric"
+    rank_residual: Literal["", "symmetric", "transfer", "sampson"] = ""
+    # residual kind for RANKING-ONLY inlier sweeps (the claim-chain
+    # candidate pick and the verify_subsample pre-pass, both of which
+    # only choose a superset that is re-scored / re-grown at full
+    # `residual` fidelity before anything is committed). "" = use
+    # `residual`. "transfer" halves the largest kernel sweep of the
+    # stress fit (the forward-only residual drops the adjugate
+    # back-projection) — adoption A/B in docs/PERF.md.
 
     # --- hypothesis generation (reference C5) ---
     n_hypotheses: int = 2048            # minimal 4-pt samples per fit

@@ -288,7 +288,8 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         # stress fit (docs/PERF.md). Claim masks below stay full-res.
         ss = max(1, cfg.claim_subsample)
         counts_av = count_inliers(
-            Hs_r, x1[::ss], x2[::ss], avail[::ss], cfg, tau
+            Hs_r, x1[::ss], x2[::ss], avail[::ss], cfg, tau,
+            kind=cfg.rank_residual or None,
         ) * ok_r
         c_top, i_top = jax.lax.top_k(counts_av, min(n_claim, s_loc))
         H_top = Hs_r[i_top]
@@ -345,7 +346,8 @@ def _pallas_enabled(cfg: MultiHConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
-def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
+def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None,
+                  kind: str | None = None):
     """C6 over the full pool without materializing (S, N).
 
     TPU: one Pallas launch — a 2-D (hyp, point) grid with on-chip count
@@ -355,7 +357,11 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
     hypothesis chunks with the jnp reference residual, reducing each
     immediately. With cfg.pallas_approx_rcp (default), kernel counts may
     differ from the jnp path by ~+-2 threshold-boundary ties.
+
+    `kind` overrides cfg.residual for this sweep (ranking call sites
+    pass cfg.rank_residual); None = cfg.residual.
     """
+    kind = kind or cfg.residual
     thr = _thr(cfg, tau, x1.dtype)
     if _pallas_enabled(cfg):
         from multih_tpu.ops.kernels import residual_kernel
@@ -363,7 +369,7 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
         return residual_kernel.inlier_counts_padded(
             Hs, x1, x2, valid, thr,
             hyp_tile=256, pt_tile=min(2048, max(512, x1.shape[0])),
-            approx_rcp=cfg.pallas_approx_rcp, kind=cfg.residual,
+            approx_rcp=cfg.pallas_approx_rcp, kind=kind,
         )
     s = Hs.shape[0]
     chunk = min(cfg.residual_chunk, s)
@@ -373,7 +379,7 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None):
     ) if pad else Hs
 
     def per_chunk(h):
-        r = geometry.residual_matrix(h, x1, x2, cfg.residual)
+        r = geometry.residual_matrix(h, x1, x2, kind)
         return jnp.sum((r < thr).astype(x1.dtype) * valid[None, :], axis=1)
 
     counts = jax.lax.map(per_chunk, Hp.reshape(-1, chunk, 3, 3))
@@ -456,8 +462,11 @@ def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
         vs = max(1, cfg.verify_subsample)
         m_sel = min(cfg.verify_rescore * m, s_total) if vs > 1 else m
         with jax.named_scope("verify"):
+            # mirror the unsharded rule exactly (bit-compatibility):
+            # rank_residual only when the exact-count rescore follows
             counts = count_inliers(
-                Hs_loc, x1[::vs], x2[::vs], valid[::vs], cfg, tau_arr
+                Hs_loc, x1[::vs], x2[::vs], valid[::vs], cfg, tau_arr,
+                kind=(cfg.rank_residual or None) if vs > 1 else None,
             ) * ok_loc
         m_loc = min(m_sel, counts.shape[0])
         c_loc, i_loc = jax.lax.top_k(counts, m_loc)
@@ -881,8 +890,12 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         # carry exact counts (same pattern as claim_subsample).
         vs = max(1, cfg.verify_subsample)
         with jax.named_scope("verify"):
+            # rank_residual only applies when a full-fidelity rescore
+            # follows (vs > 1); at vs == 1 these counts ARE the final
+            # candidate counts and must use cfg.residual
             counts = count_inliers(
-                Hs_all, x1[::vs], x2[::vs], valid[::vs], cfg, tau
+                Hs_all, x1[::vs], x2[::vs], valid[::vs], cfg, tau,
+                kind=(cfg.rank_residual or None) if vs > 1 else None,
             ) * ok
             if vs > 1:
                 m_pre = min(

@@ -31,7 +31,7 @@ _EPS = 1e-12
 
 
 def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool,
-                  kind: str):
+                  kind: str, mxu: bool):
     j = pl.program_id(1)
 
     x = pts_ref[0:1, :]
@@ -55,11 +55,35 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool,
         w_safe = s * jnp.maximum(jnp.abs(w), _EPS)
         return pl.reciprocal(w_safe, approx=approx_rcp)
 
+    def rows3(hmat, p3):
+        # (TH, 3) @ (3, TN) row numerators on the MXU. HIGHEST: the
+        # default bf16 pass rounds 640-px coordinates to ~2 px, far
+        # coarser than the 3-px threshold; bf16x3 restores fp32-grade
+        # products, and at K=3 the extra passes are ~free — the whole
+        # point is moving ~2/3 of the per-pair FLOPs off the VPU.
+        return jax.lax.dot_general(
+            hmat, p3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    if mxu:
+        ones = jnp.ones_like(x)
+        p1 = jnp.concatenate([x, y, ones], axis=0)   # (3, TN)
+
     if kind in ("transfer", "symmetric"):
         # forward transfer ||pi(H x1) - x2||^2
-        rf = safe_rcp(h[6] * x + h[7] * y + h[8])
-        uf = (h[0] * x + h[1] * y + h[2]) * rf - u
-        vf = (h[3] * x + h[4] * y + h[5]) * rf - v
+        if mxu:
+            n0 = rows3(h_ref[:, 0:3], p1)
+            n1 = rows3(h_ref[:, 3:6], p1)
+            n2 = rows3(h_ref[:, 6:9], p1)
+            rf = safe_rcp(n2)
+            uf = n0 * rf - u
+            vf = n1 * rf - v
+        else:
+            rf = safe_rcp(h[6] * x + h[7] * y + h[8])
+            uf = (h[0] * x + h[1] * y + h[2]) * rf - u
+            vf = (h[3] * x + h[4] * y + h[5]) * rf - v
         err = uf * uf + vf * vf
     if kind == "symmetric":
         # backward via adjugate (scale-free inverse), entries are (TH, 1)
@@ -72,17 +96,35 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool,
         a6 = h[3] * h[7] - h[4] * h[6]
         a7 = h[1] * h[6] - h[0] * h[7]
         a8 = h[0] * h[4] - h[1] * h[3]
-        rb = safe_rcp(a6 * u + a7 * v + a8)
-        ub = (a0 * u + a1 * v + a2) * rb - x
-        vb = (a3 * u + a4 * v + a5) * rb - y
+        if mxu:
+            ones = jnp.ones_like(u)
+            p2 = jnp.concatenate([u, v, ones], axis=0)  # (3, TN)
+            adj = jnp.concatenate(
+                [a0, a1, a2, a3, a4, a5, a6, a7, a8], axis=1
+            )                                            # (TH, 9)
+            b0 = rows3(adj[:, 0:3], p2)
+            b1 = rows3(adj[:, 3:6], p2)
+            b2 = rows3(adj[:, 6:9], p2)
+            rb = safe_rcp(b2)
+            ub = b0 * rb - x
+            vb = b1 * rb - y
+        else:
+            rb = safe_rcp(a6 * u + a7 * v + a8)
+            ub = (a0 * u + a1 * v + a2) * rb - x
+            vb = (a3 * u + a4 * v + a5) * rb - y
         err = err + ub * ub + vb * vb
     if kind == "sampson":
         # first-order reprojection error, same algebra as
         # geometry.sampson_error_sq_h (the jnp reference): two residual
         # rows of x2 x (H x1) = 0 and their Jacobian w.r.t. (x1, x2).
-        hx0 = h[0] * x + h[1] * y + h[2]
-        hx1 = h[3] * x + h[4] * y + h[5]
-        hx2 = h[6] * x + h[7] * y + h[8]
+        if mxu:
+            hx0 = rows3(h_ref[:, 0:3], p1)
+            hx1 = rows3(h_ref[:, 3:6], p1)
+            hx2 = rows3(h_ref[:, 6:9], p1)
+        else:
+            hx0 = h[0] * x + h[1] * y + h[2]
+            hx1 = h[3] * x + h[4] * y + h[5]
+            hx2 = h[6] * x + h[7] * y + h[8]
         e1 = v * hx2 - hx1
         e2 = hx0 - u * hx2
         d1x = v * h[6] - h[3]
@@ -123,7 +165,7 @@ def pack_points(x1, x2, valid):
 
 @functools.partial(
     jax.jit, static_argnames=("hyp_tile", "pt_tile", "interpret",
-                              "approx_rcp", "kind")
+                              "approx_rcp", "kind", "mxu")
 )
 def inlier_counts(
     Hs: jax.Array,
@@ -134,6 +176,7 @@ def inlier_counts(
     interpret: bool = False,
     approx_rcp: bool = True,
     kind: str = "symmetric",
+    mxu: bool = False,
 ) -> jax.Array:
     """Per-hypothesis inlier counts (residual < threshold).
 
@@ -146,6 +189,12 @@ def inlier_counts(
         (forward only — half the FLOPs), or 'sampson' (first-order
         reprojection) — same residual algebra as
         geometry.residual_matrix(kind) (VERDICT r2 item 8).
+      mxu: compute the per-pair row numerators (H rows and adjugate
+        rows dotted with [x, y, 1] / [u, v, 1]) as (TH, 3) @ (3, TN)
+        MXU contractions at Precision.HIGHEST instead of VPU
+        broadcast chains — moves ~2/3 of the per-pair FLOPs onto the
+        otherwise-idle MXU; products are fp32-grade (bf16x3), so
+        counts keep the same ±2 boundary-tie bound as approx_rcp.
 
     Returns: (S,) float32 counts.
     """
@@ -158,7 +207,8 @@ def inlier_counts(
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1, 1)
 
     out = pl.pallas_call(
-        functools.partial(_count_kernel, approx_rcp=approx_rcp, kind=kind),
+        functools.partial(_count_kernel, approx_rcp=approx_rcp, kind=kind,
+                          mxu=mxu),
         grid=(s // hyp_tile, n // pt_tile),
         in_specs=[
             pl.BlockSpec(
@@ -185,7 +235,7 @@ def inlier_counts(
 def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
                          hyp_tile: int = 128, pt_tile: int = 1024,
                          interpret: bool = False, approx_rcp: bool = True,
-                         kind: str = "symmetric"):
+                         kind: str = "symmetric", mxu: bool = False):
     """Convenience wrapper: pads S and N to tile multiples, packs points,
     returns (S,) counts for the original hypotheses."""
     s = Hs.shape[0]
@@ -204,6 +254,6 @@ def inlier_counts_padded(Hs, x1, x2, valid, threshold_sq,
     packed = pack_points(x1, x2, valid)
     counts = inlier_counts(
         Hs, packed, threshold_sq, hyp_tile=hyp_tile, pt_tile=pt_tile,
-        interpret=interpret, approx_rcp=approx_rcp, kind=kind,
+        interpret=interpret, approx_rcp=approx_rcp, kind=kind, mxu=mxu,
     )
     return counts[:s]

@@ -44,6 +44,32 @@ class TestInlierCountKernel:
         assert d.max() <= 2.0, d.max()
         assert d.mean() < 0.5, d.mean()
 
+    @pytest.mark.parametrize("kind", ["symmetric", "transfer", "sampson"])
+    def test_mxu_numerators_match(self, rng, kind):
+        """mxu=True computes the row numerators as (TH, 3) @ (3, TN) MXU
+        contractions at HIGHEST precision; counts must stay within the
+        same boundary-tie slack as the VPU form (every residual kind)."""
+        s, n = 256, 2048
+        Hs = jnp.asarray(random_hs(rng, s))
+        x1 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        valid = jnp.asarray(
+            (rng.uniform(size=n) > 0.2).astype(np.float32)
+        )
+        thr = jnp.asarray(600.0 if kind == "sampson" else 2500.0,
+                          jnp.float32)
+        base = residual_kernel.inlier_counts_padded(
+            Hs, x1, x2, valid, thr, interpret=True, kind=kind,
+            approx_rcp=False,
+        )
+        got = residual_kernel.inlier_counts_padded(
+            Hs, x1, x2, valid, thr, interpret=True, kind=kind,
+            approx_rcp=False, mxu=True,
+        )
+        d = np.abs(np.asarray(got) - np.asarray(base))
+        assert d.max() <= 2.0, d.max()
+        assert d.mean() < 0.5, d.mean()
+
     @pytest.mark.parametrize("kind", ["transfer", "sampson"])
     def test_matches_jnp_reference_other_residuals(self, rng, kind):
         """'transfer' and 'sampson' kernel variants (VERDICT r2 item 8) vs

@@ -86,6 +86,28 @@ class TestExactRecovery:
         )
         assert err_ss < err_ref + 1.0, (err_ss, err_ref)
 
+    def test_rank_residual_transfer(self, small_cfg):
+        """cfg.rank_residual='transfer': forward-only ranking sweeps (the
+        claim pick and the verify pre-pass) with full-`residual` rescore
+        must recover the same structure — the rank kind only chooses
+        supersets that are re-scored/re-grown at full fidelity."""
+        import dataclasses
+
+        cs, _ = data.synthetic_scene(
+            n_points=400, n_planes=3, outlier_rate=0.2, noise_px=0.5,
+            seed=7,
+        )
+        res_ref, err_ref = fit_scene(cs, small_cfg)
+        cfg_rr = dataclasses.replace(
+            small_cfg, verify_subsample=4, verify_rescore=4,
+            claim_subsample=2, rank_residual="transfer",
+        )
+        res_rr, err_rr = fit_scene(cs, cfg_rr)
+        assert int(np.asarray(res_rr.active).sum()) == int(
+            np.asarray(res_ref.active).sum()
+        )
+        assert err_rr < err_ref + 1.0, (err_rr, err_ref)
+
     def test_all_outliers_finds_nothing(self, small_cfg):
         rng = np.random.default_rng(5)
         cs = data.CorrespondenceSet(
