@@ -192,9 +192,15 @@ def inlier_counts(
       mxu: compute the per-pair row numerators (H rows and adjugate
         rows dotted with [x, y, 1] / [u, v, 1]) as (TH, 3) @ (3, TN)
         MXU contractions at Precision.HIGHEST instead of VPU
-        broadcast chains — moves ~2/3 of the per-pair FLOPs onto the
-        otherwise-idle MXU; products are fp32-grade (bf16x3), so
-        counts keep the same ±2 boundary-tie bound as approx_rcp.
+        broadcast chains. MEASURED LOSS — kept off as a documented
+        negative result: the contraction depth is intrinsically K=3,
+        so the 128x128 systolic array runs at 3/128 utilization and
+        HIGHEST (bf16x6 passes, needed because plain bf16 rounds
+        640-px coordinates to ~2 px against a 3-px threshold)
+        multiplies the passes. On-device at the stress sweep shape:
+        symmetric 59.7 -> 19.4 Gpair/s, transfer 100.3 -> 35.7
+        (docs/PERF.md). Counts agree with the VPU form to <=1
+        boundary tie on device (tests + TPU parity run).
 
     Returns: (S,) float32 counts.
     """
