@@ -37,6 +37,7 @@ def _build_config(args) -> "MultiHConfig":
         pearl_iterations=args.iterations,
         min_inliers=args.min_inliers,
         residual=args.residual,
+        model=getattr(args, "model", "homography"),
     )
 
 
@@ -54,6 +55,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--min-inliers", type=int, default=10)
     p.add_argument("--residual", default="symmetric",
                    choices=["symmetric", "transfer", "sampson"])
+    p.add_argument("--model", default="homography",
+                   choices=["homography", "fundamental"],
+                   help="geometric model class: 'homography' = multiple "
+                        "scene planes (the reference's problem); "
+                        "'fundamental' = multi-motion segmentation "
+                        "(8-pt minimal solves, epipolar residuals)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--restarts", type=int, default=1,
                    help="fit this many times with different seeds and keep "
@@ -292,10 +299,18 @@ def cmd_fit_images(args):
 def cmd_synth(args):
     from multih_tpu.utils import data
 
-    cs, _ = data.synthetic_scene(
-        n_points=args.points, n_planes=args.planes,
-        outlier_rate=args.outliers, noise_px=args.noise, seed=args.seed,
-    )
+    if getattr(args, "model", "homography") == "fundamental":
+        cs, _ = data.synthetic_motion_scene(
+            n_points=args.points, n_motions=args.planes,
+            outlier_rate=args.outliers, noise_px=args.noise,
+            seed=args.seed,
+        )
+    else:
+        cs, _ = data.synthetic_scene(
+            n_points=args.points, n_planes=args.planes,
+            outlier_rate=args.outliers, noise_px=args.noise,
+            seed=args.seed,
+        )
     _fit_one(cs, args)
 
 
@@ -423,7 +438,8 @@ def main(argv=None):
 
     p_sy = sub.add_parser("synth", help="fit a synthetic scene")
     p_sy.add_argument("--points", type=int, default=500)
-    p_sy.add_argument("--planes", type=int, default=2)
+    p_sy.add_argument("--planes", type=int, default=2,
+                      help="planes (or motions with --model fundamental)")
     p_sy.add_argument("--outliers", type=float, default=0.1)
     p_sy.add_argument("--noise", type=float, default=0.5)
     _add_common(p_sy)

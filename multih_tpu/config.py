@@ -24,6 +24,17 @@ class MultiHConfig:
     does not need (padded sizes, fixed iteration counts).
     """
 
+    # --- model class (above-parity: multi-model fitting) ---
+    model: Literal["homography", "fundamental"] = "homography"
+    # "homography": the reference's problem — multiple scene planes
+    # (minimal 4-pt DLT, transfer residuals, SURVEY.md §2 C5/C6).
+    # "fundamental": multi-motion segmentation (AdelaideRMF's other
+    # half) — minimal 8-pt solves, epipolar residuals (ops/fmodel.py);
+    # the PEARL machinery, selection, labeling and sharding are shared.
+    # Residual names map per model: symmetric = symmetric transfer /
+    # symmetric epipolar distance, transfer = forward-only (half the
+    # FLOPs on either model), sampson = first-order geometric.
+
     # --- geometry / residuals (reference C6) ---
     inlier_threshold: float = 3.0       # px; squared internally
     residual: Literal["symmetric", "transfer", "sampson"] = "symmetric"
@@ -205,11 +216,22 @@ class MultiHConfig:
     residual_chunk: int = 512           # hypothesis-axis tile for the
                                         # residual sweep (bounds memory)
 
+    @property
+    def minimal_points(self) -> int:
+        """Points per minimal sample: 4 (homography DLT) or 8 (8-point
+        fundamental)."""
+        return 8 if self.model == "fundamental" else 4
+
     def __post_init__(self):
         if self.n_candidates > self.n_hypotheses:
             object.__setattr__(self, "n_candidates", self.n_hypotheses)
         if self.max_labels > self.n_candidates:
             raise ValueError("max_labels must be <= n_candidates")
+        if self.model == "fundamental" and self.window_sampling:
+            raise ValueError(
+                "window_sampling is a homography-path optimization "
+                "(4-pt window gather); disable it for model='fundamental'"
+            )
 
 
 DEFAULT = MultiHConfig()

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from multih_tpu.config import MultiHConfig
 from multih_tpu.models import labeling, selection
-from multih_tpu.ops import geometry, sampling
+from multih_tpu.ops import fmodel, geometry, sampling
 from multih_tpu.ops.kernels import dlt_kernel
 
 
@@ -112,22 +112,106 @@ def _thr(cfg: MultiHConfig, tau=None, dtype=jnp.float32):
 
 
 # ---------------------------------------------------------------------------
+# model-class dispatch (homography = the reference's problem; fundamental =
+# the multi-motion extension, ops/fmodel.py). Everything downstream of the
+# residual matrix — selection, labeling, PEARL, sharding — is shared.
+# ---------------------------------------------------------------------------
+
+def model_residual_matrix(Ms, x1, x2, kind, cfg: MultiHConfig):
+    """(S, 3, 3) models x (N, 2) points -> (S, N) squared residuals of the
+    configured model class (px^2-comparable on either)."""
+    if cfg.model == "fundamental":
+        return fmodel.residual_matrix_f(Ms, x1, x2, kind)
+    return geometry.residual_matrix(Ms, x1, x2, kind)
+
+
+def _prepare_refit_basis(x1, x2, cfg: MultiHConfig):
+    if cfg.model == "fundamental":
+        return fmodel.prepare_refit_f(x1, x2)
+    return geometry.prepare_refit(x1, x2)
+
+
+def _refit_batch(w, basis, cfg: MultiHConfig):
+    """(C, N) weights -> (C, 3, 3) moment-formulated batched refit of the
+    configured model class (one MXU matmul either way)."""
+    if cfg.model == "fundamental":
+        return fmodel.fundamental_refit_batch(
+            w, basis, cfg.eig_method, cfg.eig_iterations,
+            eig_pallas=_pallas_enabled(cfg),
+        )
+    return geometry.homography_refit_batch(
+        w, basis, cfg.eig_method, cfg.eig_iterations,
+        eig_pallas=_pallas_enabled(cfg),
+    )
+
+
+def _refit_direct(x1, x2, w, cfg: MultiHConfig):
+    """Single-candidate weighted refit (the cfg.refit_moments=False
+    reference path)."""
+    if cfg.model == "fundamental":
+        from multih_tpu.ops import epipolar
+
+        return epipolar.fundamental_8pt(x1, x2, w, cfg.eig_method)
+    return geometry.homography_from_points(
+        x1, x2, w, cfg.eig_method, cfg.eig_iterations
+    )
+
+
+# ---------------------------------------------------------------------------
 # stages
 # ---------------------------------------------------------------------------
 
-def _round_sample_indices(key, avail, nbr_idx, nbr_ok, n_samples):
-    """(S, 4) sample-index quadruples for one progressive round: half
+def _round_sample_indices(key, avail, nbr_idx, nbr_ok, n_samples, m=4):
+    """(S, m) minimal-sample index tuples for one progressive round: half
     uniform over `avail`, half locality-biased with `nbr_ok` edge
     preference. Pure threefry counter math — cheap, and computed
     identically on every shard of a hypothesis-sharded fit (each shard
-    then solves only its own slot slice; SURVEY.md §2 P3)."""
+    then solves only its own slot slice; SURVEY.md §2 P3).
+
+    m=8 (fundamental): the locality-biased half draws TWO independent
+    seed+3-neighbor clusters per sample — two spread clusters condition
+    the 8-point solve far better than one tight 8-neighborhood, and it
+    keeps working at any knn_k >= 3."""
     k_u, k_l = jax.random.split(key)
     s_local = n_samples // 2
-    idx_u = sampling.sample_indices(k_u, n_samples - s_local, avail > 0)
-    idx_l = sampling.localized_sample_indices(
-        k_l, s_local, avail > 0, nbr_idx, nbr_ok
-    )
-    return jnp.concatenate([idx_u, idx_l], axis=0)  # (S, 4)
+    idx_u = sampling.sample_indices(k_u, n_samples - s_local, avail > 0,
+                                    m=m)
+    if m == 4:
+        idx_l = sampling.localized_sample_indices(
+            k_l, s_local, avail > 0, nbr_idx, nbr_ok
+        )
+    else:
+        assert m == 8, m
+        k_a, k_b = jax.random.split(k_l)
+        idx_l = jnp.concatenate(
+            [
+                sampling.localized_sample_indices(
+                    k_a, s_local, avail > 0, nbr_idx, nbr_ok
+                ),
+                sampling.localized_sample_indices(
+                    k_b, s_local, avail > 0, nbr_idx, nbr_ok
+                ),
+            ],
+            axis=1,
+        )
+    return jnp.concatenate([idx_u, idx_l], axis=0)  # (S, m)
+
+
+def _solve_minimal_f(x1, x2, avail, idx, cfg: MultiHConfig):
+    """Minimal 8-point fundamental solves for the given (S, 8) sample
+    indices (model='fundamental'). Same single-row-gather trick as the
+    homography path: one (S, 8, 8) gather of a packed (N, 8) array
+    instead of three separate gathers."""
+    packed_src = jnp.concatenate(
+        [x1, x2, avail[:, None], jnp.zeros((x1.shape[0], 3), x1.dtype)],
+        axis=1,
+    )  # (N, 8)
+    g = packed_src[idx]                    # (S, 8, 8)
+    Fs = fmodel.fundamental_8pt_batch_qr(g[:, :, 0:2], g[:, :, 2:4])
+    uses_pad = jnp.any(g[:, :, 4] == 0, axis=1)
+    finite = jnp.all(jnp.isfinite(Fs.reshape(-1, 9)), axis=1)
+    ok = (jnp.logical_not(uses_pad) & finite).astype(x1.dtype)
+    return Fs, ok
 
 
 def _solve_minimal(x1, x2, avail, idx, cfg: MultiHConfig):
@@ -263,18 +347,22 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
             Hs_r, ok_r = _solve_from_gt(gt, cfg)
         else:
             nbr_ok = avail[nbr_idx]
+            m_pts = cfg.minimal_points
             idx = _round_sample_indices(
-                keys[r], avail, nbr_idx, nbr_ok, n_s
+                keys[r], avail, nbr_idx, nbr_ok, n_s, m=m_pts
             )
             if shard is not None:
                 s_loc = n_s // n_shards
                 assert s_loc * n_shards == n_s, (n_s, n_shards)
                 idx = jax.lax.dynamic_slice(
-                    idx, (d * s_loc, 0), (s_loc, 4)
+                    idx, (d * s_loc, 0), (s_loc, m_pts)
                 )
             else:
                 s_loc = n_s
-            Hs_r, ok_r = _solve_minimal(x1, x2, avail, idx, cfg)
+            if cfg.model == "fundamental":
+                Hs_r, ok_r = _solve_minimal_f(x1, x2, avail, idx, cfg)
+            else:
+                Hs_r, ok_r = _solve_minimal(x1, x2, avail, idx, cfg)
         pools.append(Hs_r)
         oks.append(ok_r)
         slots.append(base + d * s_loc + jnp.arange(s_loc))
@@ -308,7 +396,8 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
         H_grown = lo_refine_candidates(
             H_top, x1, x2, valid, cfg, cfg.lo_rounds, tau
         )
-        r_grown = geometry.residual_matrix(H_grown, x1, x2, cfg.residual)
+        r_grown = model_residual_matrix(H_grown, x1, x2, cfg.residual,
+                                        cfg)
         inl = (r_grown < thr).astype(x1.dtype) * valid[None, :]  # (R, N)
         # greedy disjoint accept, strongest first: a candidate claims only
         # if most of its support is new territory — duplicates of already-
@@ -366,10 +455,13 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None,
     if _pallas_enabled(cfg):
         from multih_tpu.ops.kernels import residual_kernel
 
+        # the kernel's F variants share the (TH, 9) hypothesis layout;
+        # the 'f_' prefix selects the epipolar algebra
+        k_kind = f"f_{kind}" if cfg.model == "fundamental" else kind
         return residual_kernel.inlier_counts_padded(
             Hs, x1, x2, valid, thr,
             hyp_tile=256, pt_tile=min(2048, max(512, x1.shape[0])),
-            approx_rcp=cfg.pallas_approx_rcp, kind=kind,
+            approx_rcp=cfg.pallas_approx_rcp, kind=k_kind,
         )
     s = Hs.shape[0]
     chunk = min(cfg.residual_chunk, s)
@@ -379,7 +471,7 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None,
     ) if pad else Hs
 
     def per_chunk(h):
-        r = geometry.residual_matrix(h, x1, x2, kind)
+        r = model_residual_matrix(h, x1, x2, kind, cfg)
         return jnp.sum((r < thr).astype(x1.dtype) * valid[None, :], axis=1)
 
     counts = jax.lax.map(per_chunk, Hp.reshape(-1, chunk, 3, 3))
@@ -526,29 +618,26 @@ def refit_planes(Hs, labels, residuals, x1, x2, valid, cfg: MultiHConfig,
     w = member * tukey
 
     eff_support = jnp.sum((w > 0).astype(x1.dtype), axis=0)
+    m_min = float(cfg.minimal_points)
     if cfg.refit_moments:
-        # all K planes in one (K, N) x (N, 30) moment matmul
+        # all K planes in one (K, N) x (N, 30|36) moment matmul
         if basis is None:
-            basis = geometry.prepare_refit(x1, x2)
-        Hs_mom = geometry.homography_refit_batch(
-            w.T, basis, cfg.eig_method, cfg.eig_iterations,
-            eig_pallas=_pallas_enabled(cfg),
-        )
+            basis = _prepare_refit_basis(x1, x2, cfg)
+        Hs_mom = _refit_batch(w.T, basis, cfg)
         Hs_new = jnp.where(
-            (eff_support >= 4.0)[:, None, None], Hs_mom, Hs
+            (eff_support >= m_min)[:, None, None], Hs_mom, Hs
         )
     else:
         def refit_one(w_l, H_old, sup):
-            H_new = geometry.homography_from_points(
-                x1, x2, w_l, cfg.eig_method, cfg.eig_iterations
-            )
-            return jnp.where(sup >= 4.0, H_new, H_old)
+            H_new = _refit_direct(x1, x2, w_l, cfg)
+            return jnp.where(sup >= m_min, H_new, H_old)
 
         Hs_new = jax.vmap(refit_one)(w.T, Hs, eff_support)
     return Hs_new, support
 
 
-def merge_duplicate_planes(r, support, active, thr, merge_iou: float):
+def merge_duplicate_planes(r, support, active, thr, merge_iou: float,
+                           containment: bool = True):
     """Deactivate planes whose inlier sets duplicate a stronger plane's.
 
     Refit makes each fragment's H global over its plane, so fragments of
@@ -560,13 +649,24 @@ def merge_duplicate_planes(r, support, active, thr, merge_iou: float):
     inliers are mostly a subset of a real plane's must merge even though
     its IoU against the much larger set is small. Greedy keep-order by
     support, like selection NMS.
+
+    containment=False switches to symmetric Jaccard IoU (inter / union) —
+    the fundamental-model rule: epipolar 'bridge' models legitimately
+    contain >50% of a pure motion's inliers (measured: 0.64/0.96 coverage
+    of two motions by one fitted F at tau=5), so containment would merge
+    the pure model INTO the bridge; Jaccard between a pure model and a
+    bridge stays ~0.2 while same-motion refit fragments still exceed any
+    sane threshold (~0.9).
     """
     k = r.shape[0]
     masks = (r < thr).astype(r.dtype) * active[:, None]  # (K, N)
     counts = jnp.sum(masks, axis=1)
     inter = jnp.dot(masks, masks.T, preferred_element_type=jnp.float32)
-    smaller = jnp.minimum(counts[:, None], counts[None, :])
-    iou = inter / jnp.maximum(smaller, 1.0)
+    if containment:
+        denom = jnp.minimum(counts[:, None], counts[None, :])
+    else:
+        denom = counts[:, None] + counts[None, :] - inter
+    iou = inter / jnp.maximum(denom, 1.0)
     # keep-order MUST follow label support (who actually owns members),
     # not raw inlier count: otherwise a member-less duplicate can win the
     # merge and immediately die to the min-support prune, erasing the
@@ -604,36 +704,32 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int,
     def count(r):
         return jnp.sum((r < thr) * valid[None, :], axis=1)
 
-    basis = geometry.prepare_refit(x1, x2) if cfg.refit_moments else None
+    basis = _prepare_refit_basis(x1, x2, cfg) if cfg.refit_moments else None
+    m_min = float(cfg.minimal_points)
 
     def one_round(Hs, mult):
         thr_r = thr * mult
-        r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+        r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)
         rr = jnp.clip(r / thr_r, 0.0, 1.0)
         w = ((1.0 - rr) ** 2 * (r < thr_r)) * valid[None, :]  # (M, N)
-        enough = jnp.sum((w > 0).astype(x1.dtype), axis=1) >= 4.0
+        enough = jnp.sum((w > 0).astype(x1.dtype), axis=1) >= m_min
         if cfg.refit_moments:
-            # one (M, N) x (N, 30) moment matmul for the whole batch
-            # instead of materializing (M, N, 2, 9) DLT rows per round
+            # one (M, N) x (N, 30|36) moment matmul for the whole batch
+            # instead of materializing per-candidate row tensors
             Hs_new = jnp.where(
                 enough[:, None, None],
-                geometry.homography_refit_batch(
-                    w, basis, cfg.eig_method, cfg.eig_iterations,
-                    eig_pallas=_pallas_enabled(cfg),
-                ),
+                _refit_batch(w, basis, cfg),
                 Hs,
             )
         else:
             Hs_new = jax.vmap(
                 lambda wl, hold: jnp.where(
-                    jnp.sum((wl > 0).astype(x1.dtype)) >= 4.0,
-                    geometry.homography_from_points(
-                        x1, x2, wl, cfg.eig_method, cfg.eig_iterations
-                    ),
+                    jnp.sum((wl > 0).astype(x1.dtype)) >= m_min,
+                    _refit_direct(x1, x2, wl, cfg),
                     hold,
                 )
             )(w, Hs)
-        r_new = geometry.residual_matrix(Hs_new, x1, x2, cfg.residual)
+        r_new = model_residual_matrix(Hs_new, x1, x2, cfg.residual, cfg)
         better = (count(r_new) >= count(r))[:, None, None]
         return jnp.where(better, Hs_new, Hs), None
 
@@ -661,7 +757,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     k = cfg.max_labels
 
     use_k = _pallas_enabled(cfg)
-    r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)  # (K, N)
+    r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)  # (K, N)
     # everything below runs label-major (L, N): points on lanes — the
     # (N, L) forms pad L~17 to 128 lanes, 7.5x the bytes per intermediate
     dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, active)
@@ -683,7 +779,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
 
     # refit on assignments; accept per-plane only if inliers don't shrink
     Hs_new, support = refit_planes(Hs, labels, r, x1, x2, valid, cfg, tau)
-    r_new = geometry.residual_matrix(Hs_new, x1, x2, cfg.residual)
+    r_new = model_residual_matrix(Hs_new, x1, x2, cfg.residual, cfg)
     in_old = jnp.sum((r < thr) * valid[None, :], axis=1)
     in_new = jnp.sum((r_new < thr) * valid[None, :], axis=1)
     better = (in_new >= in_old)[:, None, None]
@@ -691,36 +787,53 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     r_acc = jnp.where(better[..., 0], r_new, r)
 
     # mode consolidation: refit fragments of one physical plane now look
-    # identical -> merge by inlier IoU
+    # identical -> merge by inlier IoU (containment for homographies,
+    # symmetric Jaccard for fundamental — see merge_duplicate_planes)
     active = merge_duplicate_planes(
-        r_acc, support, active, thr, cfg.merge_iou
+        r_acc, support, active, thr, cfg.merge_iou,
+        containment=cfg.model == "homography",
     )
 
     # PEARL label cost (reference C9's beta * |labels| term): deactivate the
     # plane whose removal lowers the energy the most, if any. Removal gain =
     # beta - sum over members of (runner-up cost - current cost).
-    dct_now = labeling.data_costs_t(
-        r_acc, valid, thr, cfg.outlier_cost, active
-    )  # (K+1, N)
+    #
+    # One greedy removal per iteration for homographies (the reference-
+    # calibrated behavior; golden parity anchors it). The fundamental
+    # model needs several rounds per iteration, gains recomputed after
+    # each removal (interactions: two junk models can share members): a
+    # 7-dof F captures 14-19 chance inliers on PURE NOISE, so an
+    # all-outlier scene surfaces ~10 junk motions at once and the 4
+    # prune-enabled iterations of a one-per-iteration schedule cannot
+    # clear them (measured; tests/test_fmodel_pipeline.py).
     oh_lab = (
         labels[None, :] == jnp.arange(k + 1)[:, None]
     ).astype(x1.dtype)  # (K+1, N), lane-dense
-    member = oh_lab[:k] * valid[None, :] * active[:, None]
-    # runner-up: cheapest alternative label per point, excluding its own.
-    # One-hot select + where, not take_along_axis + .at[].set: the label-
-    # axis gather and the aliased scatter traced at ~1.3 ms/fit combined.
-    own = jnp.sum(oh_lab * dct_now, axis=0)
-    masked = jnp.where(oh_lab > 0, jnp.inf, dct_now)
-    runner = jnp.min(masked, axis=0)
-    switch_cost = jnp.sum(
-        (runner - own)[None, :] * member, axis=1
-    )  # (K,) extra data cost if plane removed
-    gain = cfg.label_cost - switch_cost
-    worst = jnp.argmax(jnp.where(active > 0, gain, -jnp.inf))
     prune_on = it >= cfg.pearl_iterations // 2
-    active = active.at[worst].set(
-        jnp.where((gain[worst] > 0) & prune_on, 0.0, active[worst])
-    )
+    prune_rounds = 1 if cfg.model == "homography" else 8
+
+    def prune_body(_, active):
+        dct_now = labeling.data_costs_t(
+            r_acc, valid, thr, cfg.outlier_cost, active
+        )  # (K+1, N)
+        member = oh_lab[:k] * valid[None, :] * active[:, None]
+        # runner-up: cheapest alternative label per point, excluding its
+        # own. One-hot select + where, not take_along_axis + .at[].set:
+        # the label-axis gather and the aliased scatter traced at
+        # ~1.3 ms/fit combined.
+        own = jnp.sum(oh_lab * dct_now, axis=0)
+        masked = jnp.where(oh_lab > 0, jnp.inf, dct_now)
+        runner = jnp.min(masked, axis=0)
+        switch_cost = jnp.sum(
+            (runner - own)[None, :] * member, axis=1
+        )  # (K,) extra data cost if plane removed
+        gain = cfg.label_cost - switch_cost
+        worst = jnp.argmax(jnp.where(active > 0, gain, -jnp.inf))
+        return active.at[worst].set(
+            jnp.where((gain[worst] > 0) & prune_on, 0.0, active[worst])
+        )
+
+    active = jax.lax.fori_loop(0, prune_rounds, prune_body, active)
 
     # drop tiny planes outright — but only once the growth phase is over
     # (same gating as the label cost: deactivation is permanent here, and
@@ -838,6 +951,11 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # compete on equal terms with sampled hypotheses.
     key, k_gen, k_f = jax.random.split(key, 3)
     extra_Hs, extra_ok = [], []
+    if affines is not None and cfg.model != "homography":
+        raise ValueError(
+            "affine one-point hypotheses are a homography-model path "
+            "(Multi-H paper §3.1); drop `affines` for model='fundamental'"
+        )
     if affines is not None:
         from multih_tpu.ops import epipolar
 
@@ -922,12 +1040,21 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             Hs_cand, x1, x2, valid, cfg, cfg.lo_rounds, tau
         )
     with jax.named_scope("select"):
-        r_top = geometry.residual_matrix(Hs_top, x1, x2, cfg.residual)
+        r_top = model_residual_matrix(Hs_top, x1, x2, cfg.residual, cfg)
         grown_counts = jnp.sum((r_top < thr) * valid[None, :], axis=1)
-        cand_idx, cand_active = selection.select_candidates(
-            r_top, valid, thr, jnp.ones_like(grown_counts),
-            cfg.n_candidates, k, cfg.nms_iou,
-        )
+        if cfg.model == "fundamental":
+            # marginal-coverage greedy: epipolar 'bridging' hypotheses
+            # outcount pure single-motion models and count+NMS fills the
+            # roster with bridges (selection.select_candidates_coverage)
+            cand_idx, cand_active = selection.select_candidates_coverage(
+                r_top, valid, thr, jnp.ones_like(grown_counts),
+                cfg.n_candidates, k, min_gain=float(cfg.min_inliers),
+            )
+        else:
+            cand_idx, cand_active = selection.select_candidates(
+                r_top, valid, thr, jnp.ones_like(grown_counts),
+                cfg.n_candidates, k, cfg.nms_iou,
+            )
     Hs = Hs_top[cand_idx]  # (K, 3, 3)
     active = cand_active * (
         grown_counts[cand_idx] >= cfg.min_inliers
@@ -937,7 +1064,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # costs of the selected candidates — a uniform start starves the
     # mean-field of the agreement signal it needs to nucleate sparse
     # fragments against the outlier field.
-    r0 = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+    r0 = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)
     d0 = labeling.data_costs_t(r0, valid, thr, cfg.outlier_cost, active)
     q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=0)  # (L, N)
 
@@ -953,7 +1080,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     # final hard assignment (same two-start scheme as the loop)
     with jax.named_scope("finalize"):
-        r = geometry.residual_matrix(Hs, x1, x2, cfg.residual)
+        r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)
     dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, active)
     labels = labeling.best_labeling_t(
         [jnp.argmax(q, axis=0), jnp.argmin(dct, axis=0)],
@@ -1001,7 +1128,8 @@ def estimate_tau(res: FitResult, x1, x2, valid, cfg: MultiHConfig,
     static tau is returned.
     """
     k = cfg.max_labels
-    r = geometry.residual_matrix(res.homographies, x1, x2, cfg.residual)
+    r = model_residual_matrix(res.homographies, x1, x2, cfg.residual,
+                              cfg)
     lab = res.labels
     is_member = (lab < k) & (valid > 0)
     r_own = jnp.take_along_axis(

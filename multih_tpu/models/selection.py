@@ -93,3 +93,61 @@ def select_candidates(
         0, max_labels, body, (alive0, picked0, ok0)
     )
     return top_idx[picked], picked_ok
+
+
+def select_candidates_coverage(
+    residuals: jax.Array,
+    valid: jax.Array,
+    threshold_sq: jax.Array,
+    hypothesis_ok: jax.Array,
+    n_candidates: int,
+    max_labels: int,
+    min_gain: float = 4.0,
+):
+    """Greedy MARGINAL-COVERAGE selection of K candidates (facility-
+    location greedy): each round picks the hypothesis covering the most
+    still-uncovered points, then marks its inliers covered.
+
+    Why it exists (multi-model extension): epipolar constraints are weak
+    enough that a single F often 'bridges' two motions — such bridging
+    hypotheses outcount every pure single-motion model, and count-ranked
+    NMS fills all K slots with distinct bridges while pure models of the
+    smaller motions never enter the roster (measured: a 4-motion scene
+    whose top-16 covered only 2 motions). Marginal gain fixes the roster
+    composition structurally: once a bridge is taken its points stop
+    counting, so the next pick is a pure model of an uncovered motion.
+    Bridges that survive into PEARL lose their members to the
+    tighter-fitting pure models and die to the min-support/label-cost
+    prunes. The homography path keeps the count+NMS rule (its candidates
+    do not bridge — a plane's homography has zero freedom left; changing
+    its selection would disturb golden parity for no benefit).
+
+    A duplicate of an already-picked candidate has ~zero marginal gain by
+    construction, so no explicit IoU suppression is needed; slots whose
+    best marginal gain falls below `min_gain` (in points) are masked
+    inactive.
+    """
+    masks = inlier_mask(residuals, threshold_sq, valid)  # (S, N)
+    counts = jnp.sum(masks, axis=1) * hypothesis_ok  # (S,)
+    top_counts, top_idx = jax.lax.top_k(counts, n_candidates)
+    top_masks = masks[top_idx] * (top_counts > 0)[:, None]  # (M, N)
+
+    def body(k, state):
+        uncovered, picked, picked_ok = state
+        gain = jnp.dot(top_masks, uncovered,
+                       preferred_element_type=jnp.float32)  # (M,)
+        best = jnp.argmax(gain)
+        ok = gain[best] >= min_gain
+        picked = picked.at[k].set(best)
+        picked_ok = picked_ok.at[k].set(ok.astype(jnp.float32))
+        uncovered = jnp.where(ok, uncovered * (1.0 - top_masks[best]),
+                              uncovered)
+        return uncovered, picked, picked_ok
+
+    uncovered0 = valid.astype(residuals.dtype)
+    picked0 = jnp.zeros((max_labels,), jnp.int32)
+    ok0 = jnp.zeros((max_labels,), jnp.float32)
+    _, picked, picked_ok = jax.lax.fori_loop(
+        0, max_labels, body, (uncovered0, picked0, ok0)
+    )
+    return top_idx[picked], picked_ok

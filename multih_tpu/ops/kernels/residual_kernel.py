@@ -139,6 +139,30 @@ def _count_kernel(h_ref, pts_ref, thr_ref, out_ref, *, approx_rcp: bool,
         det = jnp.maximum(a * c - b * b, _EPS)
         err = (c * e1 * e1 - 2.0 * b * e1 * e2 + a * e2 * e2) * \
             pl.reciprocal(det, approx=approx_rcp)
+    if kind.startswith("f_"):
+        # fundamental-matrix residuals (multi-model extension): the
+        # hypothesis tile holds F row-major — same (TH, 9) layout as H.
+        # Epiline in image 2: l = F x1h; in image 1: m = F^T x2h;
+        # constraint value e = x2h . l. Same algebra as
+        # fmodel.residual_matrix_f (the jnp reference).
+        l0 = h[0] * x + h[1] * y + h[2]
+        l1 = h[3] * x + h[4] * y + h[5]
+        l2 = h[6] * x + h[7] * y + h[8]
+        e = u * l0 + v * l1 + l2
+        e2 = e * e
+        dl = jnp.maximum(l0 * l0 + l1 * l1, _EPS)
+        if kind == "f_transfer":
+            err = e2 * pl.reciprocal(dl, approx=approx_rcp)
+        else:
+            m0 = h[0] * u + h[3] * v + h[6]
+            m1 = h[1] * u + h[4] * v + h[7]
+            dm = jnp.maximum(m0 * m0 + m1 * m1, _EPS)
+            if kind == "f_symmetric":
+                err = e2 * (pl.reciprocal(dl, approx=approx_rcp)
+                            + pl.reciprocal(dm, approx=approx_rcp))
+            else:
+                assert kind == "f_sampson", kind
+                err = e2 * pl.reciprocal(dl + dm, approx=approx_rcp)
 
     inlier = jnp.where(
         (err < thr_ref[0, 0]) & (valid > 0), 1.0, 0.0
@@ -204,7 +228,10 @@ def inlier_counts(
 
     Returns: (S,) float32 counts.
     """
-    assert kind in ("symmetric", "transfer", "sampson"), kind
+    assert kind in ("symmetric", "transfer", "sampson",
+                    "f_symmetric", "f_transfer", "f_sampson"), kind
+    assert not (mxu and kind.startswith("f_")), \
+        "mxu numerators are a homography-path experiment (measured loss)"
     s = Hs.shape[0]
     n = packed_pts.shape[1]
     assert s % hyp_tile == 0, (s, hyp_tile)

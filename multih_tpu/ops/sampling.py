@@ -8,12 +8,15 @@ one launch with no sequential state: JAX's threefry counter RNG gives exactly
 that (BASELINE.json:5 "counter-based threefry RNG with fully vmapped
 hypothesis generation").
 
-Sampling without replacement per 4-tuple uses the classic "draw from a
-shrinking range, then shift past earlier picks" scheme (Floyd-style),
-unrolled to the fixed minimal-sample size 4 — branch-free and vmappable.
+Sampling without replacement per minimal tuple uses the classic "draw from
+a shrinking range, then shift past earlier picks" scheme (Floyd-style),
+unrolled to the fixed minimal-sample size (4 for homographies, 8 for
+fundamental matrices) — branch-free and vmappable.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,17 +24,19 @@ import jax.numpy as jnp
 MINIMAL_SAMPLE = 4
 
 
-def _draw_without_replacement(key: jax.Array, n_valid: jax.Array) -> jax.Array:
-    """Four distinct indices uniform over [0, n_valid). n_valid is traced.
+def _draw_without_replacement(
+    key: jax.Array, n_valid: jax.Array, m: int = MINIMAL_SAMPLE
+) -> jax.Array:
+    """`m` distinct indices uniform over [0, n_valid). n_valid is traced.
 
     Draw r_j in [0, n_valid - j), then map into the set of not-yet-taken
-    values by shifting past earlier picks in sorted order (unrolled, 4 picks).
+    values by shifting past earlier picks in sorted order (unrolled picks).
     """
-    keys = jax.random.split(key, MINIMAL_SAMPLE)
+    keys = jax.random.split(key, m)
     raw = jnp.stack(
         [
             jax.random.randint(keys[j], (), 0, jnp.maximum(n_valid - j, 1))
-            for j in range(MINIMAL_SAMPLE)
+            for j in range(m)
         ]
     )
     return _fix_collisions(raw)
@@ -41,11 +46,13 @@ def _fix_collisions(raw: jax.Array) -> jax.Array:
     """Map raw draws r_j in [0, n-j) to distinct values in [0, n).
 
     Iteratively: for pick j, repeatedly increment past any earlier pick with
-    value <= current. With earlier picks sorted, 3 sequential comparisons per
-    pick are exact; we sort the (<=3) earlier picks with an unrolled network.
+    value <= current. With earlier picks sorted, j sequential comparisons
+    per pick are exact; the (<= m-1) earlier picks are sorted with an
+    unrolled network.
     """
+    m = raw.shape[0]
     out = [raw[0]]
-    for j in range(1, MINIMAL_SAMPLE):
+    for j in range(1, m):
         prev = jnp.sort(jnp.stack(out))
         r = raw[j]
         for i in range(j):
@@ -55,10 +62,11 @@ def _fix_collisions(raw: jax.Array) -> jax.Array:
 
 
 def sample_indices(
-    key: jax.Array, n_samples: int, valid_mask: jax.Array
+    key: jax.Array, n_samples: int, valid_mask: jax.Array,
+    m: int = MINIMAL_SAMPLE,
 ) -> jax.Array:
-    """(S, 4) index quadruples into the padded point array, each quadruple
-    distinct and drawn only from valid (unpadded) points.
+    """(S, m) minimal-sample index tuples into the padded point array, each
+    tuple distinct and drawn only from valid (unpadded) points.
 
     valid_mask: (N,) bool. Invalid points are excluded by sampling ranks in
     [0, n_valid) and mapping through the rank->position table (argsort puts
@@ -69,9 +77,9 @@ def sample_indices(
     # positions of valid points first (stable: ~mask ascending)
     order = jnp.argsort(jnp.logical_not(valid_mask), stable=True)
     keys = jax.random.split(key, n_samples)
-    ranks = jax.vmap(_draw_without_replacement, in_axes=(0, None))(
-        keys, n_valid
-    )  # (S, 4) in [0, n_valid)
+    ranks = jax.vmap(
+        functools.partial(_draw_without_replacement, m=m), in_axes=(0, None)
+    )(keys, n_valid)  # (S, m) in [0, n_valid)
     ranks = jnp.clip(ranks, 0, n - 1)
     return order[ranks]
 

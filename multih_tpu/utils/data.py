@@ -194,6 +194,98 @@ def synthetic_scene(
     return cs, Hs.astype(np.float32)
 
 
+def synthetic_motion_scene(
+    n_points: int = 1000,
+    n_motions: int = 2,
+    outlier_rate: float = 0.0,
+    noise_px: float = 0.0,
+    seed: int = 0,
+    image_size: float = 640.0,
+) -> tuple[CorrespondenceSet, np.ndarray]:
+    """Multi-motion two-view scene with known GT — the fundamental-matrix
+    analog of `synthetic_scene` (multi-model extension; AdelaideRMF's
+    motion-segmentation half). Each motion is a compact 3D point blob
+    under its own rigid transform (R_m, t_m) seen by one calibrated
+    camera pair; the blob is genuinely 3D (not planar), so each motion's
+    F is well defined. GT label convention matches AdelaideRMF:
+    0 = outlier, 1..M = motions.
+
+    Returns (CorrespondenceSet, (M, 3, 3) true fundamental matrices,
+    each F = K^-T [t]x R K^-1, Frobenius-normalized).
+    """
+    rng = np.random.default_rng(seed)
+    f_len = 1.25 * image_size
+    K = np.array([
+        [f_len, 0.0, image_size / 2.0],
+        [0.0, f_len, image_size / 2.0],
+        [0.0, 0.0, 1.0],
+    ])
+    K_inv = np.linalg.inv(K)
+
+    n_out = int(round(n_points * outlier_rate))
+    n_in = n_points - n_out
+    counts = np.full(n_motions, n_in // n_motions)
+    counts[: n_in - counts.sum()] += 1
+
+    def rodrigues(a):
+        t = np.linalg.norm(a) + 1e-12
+        k = a / t
+        Kx = np.array([
+            [0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]
+        ])
+        return np.eye(3) + np.sin(t) * Kx + (1 - np.cos(t)) * Kx @ Kx
+
+    Fs, x1_list, x2_list, lab_list = [], [], [], []
+    for m in range(n_motions):
+        c = counts[m]
+        # compact 3D blob inside the first camera's frustum
+        cx = rng.uniform(-1.5, 1.5)
+        cy = rng.uniform(-1.5, 1.5)
+        cz = rng.uniform(5.0, 9.0)
+        X = np.array([cx, cy, cz]) + rng.normal(0, 0.8, (c, 3))
+        X[:, 2] = np.clip(X[:, 2], 2.0, None)
+        # per-motion rigid transform: distinct rotation + translation
+        R = rodrigues(np.deg2rad(rng.uniform(4.0, 12.0))
+                      * _unit(rng.normal(size=3)))
+        t = rng.uniform(0.4, 1.2) * _unit(rng.normal(size=3))
+        Y = X @ R.T + t
+        Y[:, 2] = np.clip(Y[:, 2], 1.0, None)
+        p1 = (X @ K.T)
+        p1 = p1[:, :2] / p1[:, 2:3]
+        p2 = (Y @ K.T)
+        p2 = p2[:, :2] / p2[:, 2:3]
+        if noise_px > 0:
+            p1 = p1 + rng.normal(0, noise_px, (c, 2))
+            p2 = p2 + rng.normal(0, noise_px, (c, 2))
+        tx = np.array([
+            [0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]
+        ])
+        F = K_inv.T @ tx @ R @ K_inv
+        Fs.append(F / np.linalg.norm(F))
+        x1_list.append(p1)
+        x2_list.append(p2)
+        lab_list.append(np.full(c, m + 1))
+
+    if n_out:
+        x1_list.append(rng.uniform(0, image_size, (n_out, 2)))
+        x2_list.append(rng.uniform(0, image_size, (n_out, 2)))
+        lab_list.append(np.zeros(n_out))
+
+    x1 = np.concatenate(x1_list).astype(np.float32)
+    x2 = np.concatenate(x2_list).astype(np.float32)
+    lab = np.concatenate(lab_list).astype(np.int32)
+    perm = rng.permutation(x1.shape[0])
+    cs = CorrespondenceSet(
+        x1[perm], x2[perm], lab[perm],
+        f"synthetic_motion_m{n_motions}_s{seed}",
+    )
+    return cs, np.stack(Fs).astype(np.float32)
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    return v / (np.linalg.norm(v) + 1e-12)
+
+
 def adelaide_pairs(root: str) -> list[str]:
     """The 19 homography pairs of the AdelaideRMF benchmark, if present
     under `root` as .mat files (BASELINE.json:9). Returns found paths."""

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from multih_tpu.ops import geometry
+from multih_tpu.ops import fmodel, geometry
 from multih_tpu.ops.kernels import dlt_kernel, residual_kernel
 
 
@@ -69,6 +69,41 @@ class TestInlierCountKernel:
         d = np.abs(np.asarray(got) - np.asarray(base))
         assert d.max() <= 2.0, d.max()
         assert d.mean() < 0.5, d.mean()
+
+    @pytest.mark.parametrize("kind", ["symmetric", "transfer", "sampson"])
+    def test_matches_jnp_reference_fundamental(self, rng, kind):
+        """'f_*' kernel variants (multi-model extension) vs
+        fmodel.residual_matrix_f(kind): the kernel's epipolar algebra on
+        the same (TH, 9) hypothesis layout, exact division and the
+        fast-reciprocal default both within boundary-tie slack."""
+        s, n = 192, 1536
+        # plausible pixel-coordinate fundamental matrices: generic rank-2
+        # with the characteristic entry scaling (quadratic terms ~1e-6)
+        F = rng.normal(0, 1.0, (s, 3, 3)).astype(np.float32)
+        F[:, :2, :2] *= 1e-6
+        F[:, 2, :2] *= 1e-3
+        F[:, :2, 2] *= 1e-3
+        F /= np.linalg.norm(F, axis=(1, 2), keepdims=True)
+        Fs = jnp.asarray(F)
+        x1 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        valid = jnp.asarray(
+            (rng.uniform(size=n) > 0.2).astype(np.float32)
+        )
+        thr = jnp.asarray(900.0, jnp.float32)
+        ref = jnp.sum(
+            (fmodel.residual_matrix_f(Fs, x1, x2, kind) < thr)
+            * valid[None, :],
+            axis=1,
+        )
+        for approx in (False, True):
+            got = residual_kernel.inlier_counts_padded(
+                Fs, x1, x2, valid, thr, hyp_tile=64, pt_tile=512,
+                interpret=True, approx_rcp=approx, kind=f"f_{kind}",
+            )
+            d = np.abs(np.asarray(got) - np.asarray(ref))
+            assert d.max() <= 2.0, (approx, d.max())
+            assert d.mean() < 0.5, (approx, d.mean())
 
     @pytest.mark.parametrize("kind", ["transfer", "sampson"])
     def test_matches_jnp_reference_other_residuals(self, rng, kind):
