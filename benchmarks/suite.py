@@ -64,6 +64,45 @@ def scenes():
     return out
 
 
+# Motion-segmentation suite (model='fundamental', the multi-model
+# extension): multi-rigid-motion two-view scenes with known GT from
+# data.synthetic_motion_scene. Name prefix 'fm' keeps the goldens
+# (tests/goldens/fm*.npz) distinct from the homography suite's.
+#
+# Every (spec, seed) below is POSEDNESS-CHECKED: for each motion pair
+# (a, b), an F fit on the union of their GT inliers must NOT cover both
+# within tau (worst pairwise 'bridge coverage' <= ~0.66; fm5_a's best
+# achievable over 20 seeds is 0.50). Scenes failing the check (e.g.
+# 5 motions at noise 0.5 almost always contain a real bridge F covering
+# >90% of two motions) make the FEWER-label solution genuinely
+# energy-optimal — both implementations 'fail' them identically-ish but
+# noisily, and a parity test there compares noise, not behavior.
+MOTION_SUITE = [
+    ("fm2_a", 400, 2, 0.10, 0.0, 201),
+    ("fm2_b", 400, 2, 0.15, 0.5, 202),
+    ("fm3_a", 400, 3, 0.20, 0.5, 203),
+    ("fm3_b", 500, 3, 0.30, 0.5, 204),
+    ("fm4_a", 400, 4, 0.10, 0.5, 205),
+    ("fm4_b", 600, 4, 0.15, 0.5, 216),
+    ("fm5_a", 700, 5, 0.15, 0.3, 220),
+    ("fm_out40", 500, 3, 0.40, 0.5, 208),
+    ("fm_out40b", 500, 3, 0.40, 0.5, 218),
+]
+
+
+def motion_scenes():
+    """Materialize the motion suite: list of (CorrespondenceSet, true_F)."""
+    out = []
+    for name, n, motions, outl, noise, seed in MOTION_SUITE:
+        cs, F = data.synthetic_motion_scene(
+            n_points=n, n_motions=motions, outlier_rate=outl,
+            noise_px=noise, seed=seed,
+        )
+        cs = cs._replace(name=name)
+        out.append((cs, F))
+    return out
+
+
 def tau_for_noise(noise_px: float) -> float:
     """Inlier threshold for a given correspondence noise level.
 

@@ -34,6 +34,19 @@ class MultiHConfig:
     # Residual names map per model: symmetric = symmetric transfer /
     # symmetric epipolar distance, transfer = forward-only (half the
     # FLOPs on either model), sampson = first-order geometric.
+    f_sample_points: int = 8
+    # Points per fundamental-model sample (8 or 12; ignored for
+    # homographies). 8 = the textbook minimal sample (Givens-QR
+    # nullspace). 12 = two 6-point locality clusters solved by normal
+    # equations + 9x9 eigensolve. Raw 8-point Fs on a compact 3D blob
+    # at ~0.5 px noise are noise-dominated (measured: clean minimal
+    # samples of a motion cover a mean 0.20 of it; 12-point samples
+    # 0.99) — but the A/B over the 9-scene motion suite (3 keys each)
+    # kept 8 for THIS pipeline: the claim/LO/roster machinery already
+    # rescues noisy minimal samples (mean 4.72% at 8 vs 5.30% at 12,
+    # 27/27 vs 26/27 correct motion counts — fewer, larger clusters
+    # lose sample diversity). The float64 parity oracle, which has a
+    # simpler growth loop, uses 12 (tools/reference_pearl.py).
 
     # --- geometry / residuals (reference C6) ---
     inlier_threshold: float = 3.0       # px; squared internally
@@ -231,6 +244,14 @@ class MultiHConfig:
             raise ValueError(
                 "window_sampling is a homography-path optimization "
                 "(4-pt window gather); disable it for model='fundamental'"
+            )
+        if self.f_sample_points not in (8, 12):
+            raise ValueError("f_sample_points must be 8 or 12")
+        if (self.model == "fundamental" and self.f_sample_points == 12
+                and self.knn_k < 5):
+            raise ValueError(
+                "f_sample_points=12 draws two 6-point clusters: "
+                "knn_k >= 5 required"
             )
 
 

@@ -168,10 +168,10 @@ def _round_sample_indices(key, avail, nbr_idx, nbr_ok, n_samples, m=4):
     identically on every shard of a hypothesis-sharded fit (each shard
     then solves only its own slot slice; SURVEY.md §2 P3).
 
-    m=8 (fundamental): the locality-biased half draws TWO independent
-    seed+3-neighbor clusters per sample — two spread clusters condition
-    the 8-point solve far better than one tight 8-neighborhood, and it
-    keeps working at any knn_k >= 3."""
+    m=8/12 (fundamental): the locality-biased half draws TWO independent
+    seed+neighbor clusters per sample (4+4 or 6+6) — two spread clusters
+    condition the epipolar solve far better than one tight
+    m-neighborhood, and it keeps working at any knn_k >= m//2 - 1."""
     k_u, k_l = jax.random.split(key)
     s_local = n_samples // 2
     idx_u = sampling.sample_indices(k_u, n_samples - s_local, avail > 0,
@@ -181,15 +181,17 @@ def _round_sample_indices(key, avail, nbr_idx, nbr_ok, n_samples, m=4):
             k_l, s_local, avail > 0, nbr_idx, nbr_ok
         )
     else:
-        assert m == 8, m
+        assert m in (8, 12), m
         k_a, k_b = jax.random.split(k_l)
         idx_l = jnp.concatenate(
             [
                 sampling.localized_sample_indices(
-                    k_a, s_local, avail > 0, nbr_idx, nbr_ok
+                    k_a, s_local, avail > 0, nbr_idx, nbr_ok,
+                    cluster=m // 2,
                 ),
                 sampling.localized_sample_indices(
-                    k_b, s_local, avail > 0, nbr_idx, nbr_ok
+                    k_b, s_local, avail > 0, nbr_idx, nbr_ok,
+                    cluster=m // 2,
                 ),
             ],
             axis=1,
@@ -198,16 +200,24 @@ def _round_sample_indices(key, avail, nbr_idx, nbr_ok, n_samples, m=4):
 
 
 def _solve_minimal_f(x1, x2, avail, idx, cfg: MultiHConfig):
-    """Minimal 8-point fundamental solves for the given (S, 8) sample
-    indices (model='fundamental'). Same single-row-gather trick as the
-    homography path: one (S, 8, 8) gather of a packed (N, 8) array
-    instead of three separate gathers."""
+    """Fundamental solves for the given (S, m) sample indices
+    (model='fundamental'; m = cfg.f_sample_points). Same
+    single-row-gather trick as the homography path: one (S, m, 8)
+    gather of a packed (N, 8) array instead of three separate gathers.
+    m=8 solves the exact minimal system by Givens-QR nullspace; m=12
+    the overdetermined one by normal equations + 9x9 eigensolve."""
     packed_src = jnp.concatenate(
         [x1, x2, avail[:, None], jnp.zeros((x1.shape[0], 3), x1.dtype)],
         axis=1,
     )  # (N, 8)
-    g = packed_src[idx]                    # (S, 8, 8)
-    Fs = fmodel.fundamental_8pt_batch_qr(g[:, :, 0:2], g[:, :, 2:4])
+    g = packed_src[idx]                    # (S, m, 8)
+    if idx.shape[1] == 8:
+        Fs = fmodel.fundamental_8pt_batch_qr(g[:, :, 0:2], g[:, :, 2:4])
+    else:
+        Fs = fmodel.fundamental_npt_batch(
+            g[:, :, 0:2], g[:, :, 2:4],
+            cfg.eig_iterations, cfg.eig_method,
+        )
     uses_pad = jnp.any(g[:, :, 4] == 0, axis=1)
     finite = jnp.all(jnp.isfinite(Fs.reshape(-1, 9)), axis=1)
     ok = (jnp.logical_not(uses_pad) & finite).astype(x1.dtype)
@@ -347,7 +357,8 @@ def generate_hypotheses(key, x1, x2, valid, nbr_idx, cfg: MultiHConfig,
             Hs_r, ok_r = _solve_from_gt(gt, cfg)
         else:
             nbr_ok = avail[nbr_idx]
-            m_pts = cfg.minimal_points
+            m_pts = (cfg.f_sample_points if cfg.model == "fundamental"
+                     else cfg.minimal_points)
             idx = _round_sample_indices(
                 keys[r], avail, nbr_idx, nbr_ok, n_s, m=m_pts
             )

@@ -178,6 +178,39 @@ def fundamental_8pt_minimal(p1: jax.Array, p2: jax.Array) -> jax.Array:
 fundamental_8pt_batch_qr = jax.vmap(fundamental_8pt_minimal)
 
 
+def fundamental_npt_minimal(
+    p1: jax.Array, p2: jax.Array,
+    eig_iterations: int = 6, eig_method: str = "eigh",
+) -> jax.Array:
+    """Overdetermined small-sample fundamental solve: (m, 2) x (m, 2)
+    with m > 8 -> (3, 3), ||F|| = 1, rank 2. Normal equations (9x9
+    A^T A) + smallest-eigenvector — the same branch-free machinery the
+    batched refit uses, at sample size. Exists because minimal 8-point
+    samples are noise-dominated on compact 3D structures (see
+    MultiHConfig.f_sample_points); Hartley normalization keeps the
+    squared conditioning of A^T A harmless at m ~ 12 in fp32 (parity
+    vs float64 tested)."""
+    x1n, T1 = geometry.hartley_normalize(p1)
+    x2n, T2 = geometry.hartley_normalize(p2)
+    x, y = x1n[:, 0], x1n[:, 1]
+    u, v = x2n[:, 0], x2n[:, 1]
+    one = jnp.ones_like(x)
+    rows = jnp.stack(
+        [u * x, u * y, u, v * x, v * y, v, x, y, one], axis=-1
+    )  # (m, 9)
+    ata = jnp.matmul(rows.T, rows, precision=_HI)
+    fv = geometry.smallest_eigvec_9x9(ata, eig_iterations, eig_method)
+    Fn = _rank2_project(fv.reshape(3, 3))
+    F = jnp.matmul(jnp.matmul(T2.T, Fn, precision=_HI), T1, precision=_HI)
+    return _canonical_f(F)
+
+
+# vmapped: (S, m, 2) x (S, m, 2) -> (S, 3, 3), m > 8 static
+fundamental_npt_batch = jax.vmap(
+    fundamental_npt_minimal, in_axes=(0, 0, None, None)
+)
+
+
 # ---------------------------------------------------------------------------
 # moment-based batched weighted refit (reference C12 analog at scale)
 # ---------------------------------------------------------------------------

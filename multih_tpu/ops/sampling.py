@@ -90,6 +90,7 @@ def localized_sample_indices(
     valid_mask: jax.Array,
     nbr_idx: jax.Array,
     nbr_ok: jax.Array | None = None,
+    cluster: int = 4,
 ) -> jax.Array:
     """Locality-biased sampling: pick a seed point, then 3 of its spatial
     neighbors. Planes are spatially coherent (the premise of Multi-H's
@@ -100,22 +101,29 @@ def localized_sample_indices(
     nbr_idx: (N, k) spatial k-NN indices (from the labeling graph, C8).
     nbr_ok: optional (N, k) {0,1} per-edge preference mask (e.g. "neighbor
       not yet claimed by a found plane" in progressive sampling). Neighbor
-    slots are drawn without replacement via Gumbel top-3, preferring
-    slots with nbr_ok=1 but falling back gracefully when fewer than 3
-    remain (soft -20 penalty instead of -inf keeps the draw well-defined).
+    slots are drawn without replacement via Gumbel top-(cluster-1),
+    preferring slots with nbr_ok=1 but falling back gracefully when too
+    few remain (soft -20 penalty instead of -inf keeps the draw
+    well-defined).
+
+    cluster: points per cluster (seed + cluster-1 neighbors; requires
+    cluster-1 <= k). 4 for homography quads; 6 for the fundamental
+    model's 12-point two-cluster samples.
     """
     n, k = nbr_idx.shape
+    assert cluster - 1 <= k, (cluster, k)
     n_valid = jnp.sum(valid_mask.astype(jnp.int32))
     order = jnp.argsort(jnp.logical_not(valid_mask), stable=True)
     k_seed, k_nbr = jax.random.split(key)
     seed_rank = jax.random.randint(k_seed, (n_samples,), 0, jnp.maximum(n_valid, 1))
     seeds = order[seed_rank]  # (S,)
-    # Gumbel top-3 over the k neighbor slots, penalizing masked-out slots
+    # Gumbel top-(cluster-1) over the k neighbor slots, penalizing
+    # masked-out slots
     g = jax.random.gumbel(k_nbr, (n_samples, k))
     if nbr_ok is not None:
         g = g + 20.0 * (nbr_ok[seeds] - 1.0)
-    _, slots = jax.lax.top_k(g, 3)  # (S, 3) distinct slots
-    picked = jnp.take_along_axis(nbr_idx[seeds], slots, axis=1)  # (S, 3)
+    _, slots = jax.lax.top_k(g, cluster - 1)  # (S, c-1) distinct slots
+    picked = jnp.take_along_axis(nbr_idx[seeds], slots, axis=1)
     return jnp.concatenate([seeds[:, None], picked], axis=1)
 
 

@@ -181,3 +181,44 @@ class TestRefit:
         Ft = F / np.linalg.norm(F)
         d = min(np.linalg.norm(Fe - Ft), np.linalg.norm(Fe + Ft))
         assert d < 5e-3, d
+
+
+class TestNptSolver:
+    def test_recovers_true_f_noise_free(self, rng):
+        """fundamental_npt_minimal (overdetermined 12-point, normal
+        equations + 9x9 eigensolve; cfg.f_sample_points=12) recovers the
+        closed-form F on noise-free samples."""
+        x1, x2, F_true = make_two_view(rng, n=12)
+        F = np.asarray(fmodel.fundamental_npt_minimal(
+            jnp.asarray(x1), jnp.asarray(x2)))
+        s = np.sign(np.sum(F * F_true)) or 1.0
+        assert np.max(np.abs(s * F - F_true)) < 2e-4, F
+
+    def test_batch_matches_single(self, rng):
+        x1a, x2a, _ = make_two_view(rng, n=12)
+        x1b, x2b, _ = make_two_view(rng, n=12, rot_deg=3.0)
+        p1 = jnp.stack([jnp.asarray(x1a), jnp.asarray(x1b)])
+        p2 = jnp.stack([jnp.asarray(x2a), jnp.asarray(x2b)])
+        Fb = fmodel.fundamental_npt_batch(p1, p2, 6, "eigh")
+        Fa = fmodel.fundamental_npt_minimal(p1[0], p2[0], 6, "eigh")
+        np.testing.assert_allclose(np.asarray(Fb[0]), np.asarray(Fa),
+                                   atol=1e-6)
+
+    def test_noisy_12pt_beats_minimal_8pt(self, rng):
+        """The measured premise of f_sample_points=12 (config.py): at
+        ~0.5 px noise the 12-point normal-equation solve is closer to
+        the true F than the minimal 8-point solve, on average over
+        samples (Sampson RMS on a clean held-out set)."""
+        x1, x2, F_true = make_two_view(rng, n=200, noise=0.5)
+        errs8, errs12 = [], []
+        for t in range(24):
+            sel = rng.choice(200, 12, replace=False)
+            F12 = np.asarray(fmodel.fundamental_npt_minimal(
+                jnp.asarray(x1[sel]), jnp.asarray(x2[sel])))
+            F8 = np.asarray(fmodel.fundamental_8pt_minimal(
+                jnp.asarray(x1[sel[:8]]), jnp.asarray(x2[sel[:8]])))
+            # score on all 200 points against the true-F geometry
+            errs12.append(np.sqrt(np_sampson(F12, x1, x2).mean()))
+            errs8.append(np.sqrt(np_sampson(F8, x1, x2).mean()))
+        assert np.median(errs12) < np.median(errs8), (
+            np.median(errs12), np.median(errs8))

@@ -62,6 +62,35 @@ def main():
         }
         print(f"{cs.name}: {len(active)} planes, {err:.2f}%")
 
+    # motion-segmentation suite (model='fundamental'); goldens fm*.npz
+    for (cs, _), row in zip(suite.motion_scenes(), suite.MOTION_SUITE):
+        tau = suite.tau_for_noise(row[4])
+        p = rp.PearlParams(
+            model="fundamental", inlier_threshold=tau,
+            n_hypotheses=args.hypotheses,
+        )
+        labels, Fs, active = rp.pearl_fit(
+            cs.x1.astype(np.float64), cs.x2.astype(np.float64), p
+        )
+        outlier = len(Fs)
+        err = evaluation.misclassification_error(
+            labels, cs.gt_labels, outlier
+        )
+        np.savez(
+            os.path.join(args.out, f"{cs.name}.npz"),
+            labels=labels,
+            outlier_label=outlier,
+            n_planes=len(active),
+            misclassification=err,
+            inlier_threshold=tau,
+        )
+        summary[cs.name] = {
+            "n_planes": len(active),
+            "misclassification_pct": round(err, 3),
+            "tau": tau,
+        }
+        print(f"{cs.name}: {len(active)} motions, {err:.2f}%")
+
     summary["_oracle"] = {"version": rp.ORACLE_VERSION,
                           "n_hypotheses": args.hypotheses}
     with open(os.path.join(args.out, "summary.json"), "w") as f:

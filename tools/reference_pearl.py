@@ -7,6 +7,10 @@ misclassification numbers that the TPU pipeline must match within 0.5%
 absolute (BASELINE.json:5). Everything here favors fidelity over speed:
 float64, numpy SVD DLT, exact alpha-expansion with label costs each PEARL
 iteration.
+
+model='fundamental' runs the same PEARL machinery on epipolar geometry
+(8-point SVD solves, Sampson residuals) — the oracle for the multi-motion
+extension's goldens (f_*.npz).
 """
 
 from __future__ import annotations
@@ -21,14 +25,19 @@ import numpy as np
 # stay attributable). Bump on any behavioral change to this file or to
 # native/expansion.cpp.
 ORACLE_VERSION = (
-    "r2.1: float64 NumPy PEARL + native Dinic/BVZ/Delong expansion; "
+    "r3.1: float64 NumPy PEARL + native Dinic/BVZ/Delong expansion; "
     "LO schedule 4t/2t/t, motion-augmented sampling (w=2), claim gating "
-    "min_inliers; 5 progressive sampling rounds"
+    "min_inliers; 5 progressive sampling rounds. Adds model='fundamental' "
+    "(8-pt SVD minimal/weighted solves, Sampson residuals, "
+    "marginal-coverage selection, Jaccard merge); the homography path is "
+    "bit-identical to r2.1 (pure refactor to model dispatch), so r2.1 "
+    "homography goldens remain valid."
 )
 
 
 @dataclasses.dataclass
 class PearlParams:
+    model: str = "homography"  # or "fundamental" (motion segmentation)
     inlier_threshold: float = 3.0
     spatial_weight: float = 0.1
     label_cost: float = 20.0
@@ -113,6 +122,56 @@ def dlt(x1, x2, w=None):
     return H / np.linalg.norm(H)
 
 
+def f_sampson_sq(F, x1, x2):
+    """First-order (Sampson) squared epipolar error, float64 — the
+    fundamental-model analog of symmetric_error_sq. Independent of
+    multih_tpu.ops.fmodel (straightforward NumPy, SURVEY.md §4 oracle
+    style)."""
+    x1h = _to_h(x1)
+    x2h = _to_h(x2)
+    l = x1h @ F.T                       # epiline of x1 in image 2
+    m = x2h @ F                         # epiline of x2 in image 1
+    e = np.sum(x2h * l, axis=1)
+    den = l[:, 0] ** 2 + l[:, 1] ** 2 + m[:, 0] ** 2 + m[:, 1] ** 2
+    return e * e / np.maximum(den, 1e-12)
+
+
+def fundamental_8pt(x1, x2, w=None):
+    """Weighted normalized 8-point fundamental matrix, float64 numpy SVD,
+    rank-2 enforced in the normalized frame (the oracle path; mirrors the
+    structure of dlt() above, one epipolar row per point)."""
+    n = x1.shape[0]
+    if w is None:
+        w = np.ones(n)
+    ws = w.sum()
+    if ws < 8:
+        return None
+
+    def norm(x):
+        mean = (x * w[:, None]).sum(0) / ws
+        c = x - mean
+        rms = np.sqrt(((c**2).sum(1) * w).sum() / ws)
+        s = np.sqrt(2.0) / max(rms, 1e-12)
+        T = np.array([[s, 0, -s * mean[0]], [0, s, -s * mean[1]], [0, 0, 1]])
+        return c * s, T
+
+    x1n, T1 = norm(x1)
+    x2n, T2 = norm(x2)
+    x, y = x1n[:, 0], x1n[:, 1]
+    u, v = x2n[:, 0], x2n[:, 1]
+    a = np.stack([u * x, u * y, u, v * x, v * y, v, x, y, np.ones(n)], 1)
+    sw = np.sqrt(np.maximum(w, 0))
+    _, _, vt = np.linalg.svd(a * sw[:, None], full_matrices=False)
+    Fn = vt[-1].reshape(3, 3)
+    uu, ss, vv = np.linalg.svd(Fn)
+    Fn = uu @ np.diag([ss[0], ss[1], 0.0]) @ vv
+    F = T2.T @ Fn @ T1
+    nrm = np.linalg.norm(F)
+    if not np.isfinite(nrm) or nrm < 1e-12:
+        return None
+    return F / nrm
+
+
 def knn_graph(pts, k):
     from scipy.spatial import cKDTree
 
@@ -134,6 +193,24 @@ def pearl_fit(x1, x2, p: PearlParams):
     rng = np.random.default_rng(p.seed)
     n = x1.shape[0]
     thr = p.inlier_threshold**2
+    # model dispatch (multi-model extension; the homography path is the
+    # reference's problem and is unchanged by this refactor)
+    if p.model == "fundamental":
+        m_min = 8
+        # the oracle samples 12 points, not the minimal 8: an 8-point F
+        # on a compact 3D blob at 0.5 px noise is noise-dominated
+        # (measured on fm_out40 motion 1: mean 0.20 of the motion covered
+        # from CLEAN minimal samples, and LO cannot climb out because the
+        # covered subset is quasi-planar; 12-point samples cover 0.99).
+        # Fidelity over minimality is this tool's stated role.
+        s_min = 12
+        resid = f_sampson_sq
+        refit_w = fundamental_8pt
+    else:
+        m_min = 4
+        s_min = 4
+        resid = symmetric_error_sq
+        refit_w = dlt
     nbr, pq, ew = knn_graph(x1, p.knn_k)
     # sampling neighbors live in (position, motion) space: same-plane
     # points cluster by motion even when plane regions interleave spatially
@@ -158,18 +235,31 @@ def pearl_fit(x1, x2, p: PearlParams):
     # coverage 6-9% over 512 grown samples); with this one every plane of
     # both scenes reaches 97-100% coverage.
     lo_schedule = [64, 64, 32, 32, 16, 16, 8, 8, 4, 4, 2, 1, 1]
+    if p.model == "fundamental":
+        # The wide homography schedule exists because a plane homography
+        # from a tight quad extrapolates quadratically badly — growth
+        # needs many gradual steps. An F's epipolar constraint is 1-D
+        # and global: a pure minimal sample already scores its whole
+        # motion, while WIDE thresholds absorb other motions' points and
+        # LO converts pure samples into two-motion 'bridges' (measured
+        # on fm4_a: zero pure candidates for 2 of 4 motions survived the
+        # wide schedule). Narrow-start with repeats measured best over the
+        # motion suite (2t start: bridges stay out; repeats at each level:
+        # partial models finish growing — fm_out40-class scenes 25% -> 11%
+        # vs the 4t-start schedule).
+        lo_schedule = [4, 2, 2, 1, 1, 1, 1]
 
     def lo_grow(H, rounds, base_mask=None):
         """Gradual shrinking-threshold LO, keep-if-better at tau."""
         for mult in lo_schedule:
-            rr = symmetric_error_sq(H, x1, x2)
+            rr = resid(H, x1, x2)
             w = np.maximum(0, 1 - rr / (thr * mult)) ** 2 * (rr < thr * mult)
             if base_mask is not None:
                 w = w * base_mask
-            Hn = dlt(x1, x2, w)
+            Hn = refit_w(x1, x2, w)
             if Hn is None or not np.isfinite(Hn).all():
                 continue
-            if ((symmetric_error_sq(Hn, x1, x2) < thr).sum()
+            if ((resid(Hn, x1, x2) < thr).sum()
                     >= (rr < thr).sum()):
                 H = Hn
         return H
@@ -196,21 +286,35 @@ def pearl_fit(x1, x2, p: PearlParams):
     Hs = []
     for _ in range(rounds):
         avail = np.where(~claimed)[0]
-        if avail.size < max(8, p.min_inliers):
+        if avail.size < max(2 * s_min, p.min_inliers):
             break
+
+        def local_cluster(size):
+            """Seed + (size-1) motion-space neighbors (one cluster)."""
+            seed_pt = rng.choice(avail)
+            nb = [q for q in nbr_s[seed_pt] if not claimed[q]]
+            if len(nb) < size - 1:
+                nb = list(nbr_s[seed_pt])
+            return np.concatenate(
+                [[seed_pt], rng.choice(nb, size - 1, replace=False)]
+            )
+
         round_H = []
         for s in range(per_round):
             if s % 2 == 0:
-                idx = rng.choice(avail, 4, replace=False)
+                idx = rng.choice(avail, s_min, replace=False)
+            elif s_min == 4:
+                idx = local_cluster(4)
             else:
-                seed_pt = rng.choice(avail)
-                nb = [q for q in nbr_s[seed_pt] if not claimed[q]]
-                if len(nb) < 3:
-                    nb = list(nbr_s[seed_pt])
+                # fundamental: TWO independent locality clusters — a
+                # single cluster is planar-degenerate far too often
+                # (mirrors ops/sampling.py's two-cluster draw)
                 idx = np.concatenate(
-                    [[seed_pt], rng.choice(nb, 3, replace=False)]
+                    [local_cluster(s_min // 2), local_cluster(s_min // 2)]
                 )
-            H = dlt(x1[idx], x2[idx])
+                if np.unique(idx).size < s_min:
+                    idx = rng.choice(avail, s_min, replace=False)
+            H = refit_w(x1[idx], x2[idx])
             if H is not None and np.isfinite(H).all():
                 round_H.append(H)
         if not round_H:
@@ -218,7 +322,7 @@ def pearl_fit(x1, x2, p: PearlParams):
         round_H = np.stack(round_H)
         # rank by inliers among UNCLAIMED points, grow the best few
         r_avail = np.stack(
-            [symmetric_error_sq(H, x1[avail], x2[avail]) for H in round_H]
+            [resid(H, x1[avail], x2[avail]) for H in round_H]
         )
         order = np.argsort(-(r_avail < thr).sum(1))
         grown = []
@@ -229,31 +333,57 @@ def pearl_fit(x1, x2, p: PearlParams):
         # if it is a real plane (>= min_inliers); claiming junk churns avail
         best = max(
             grown,
-            key=lambda H: (symmetric_error_sq(H, x1, x2) < thr).sum(),
+            key=lambda H: (resid(H, x1, x2) < thr).sum(),
         )
-        newly = symmetric_error_sq(best, x1, x2) < thr
+        newly = resid(best, x1, x2) < thr
         if newly.sum() >= p.min_inliers:
             claimed |= newly
     Hs = np.stack(Hs)
 
-    # NMS by inlier IoU
-    r = np.stack([symmetric_error_sq(H, x1, x2) for H in Hs])
+    r = np.stack([resid(H, x1, x2) for H in Hs])
     masks = r < thr
     counts = masks.sum(1)
-    order = np.argsort(-counts)
-    picked = []
-    for i in order:
-        if counts[i] < p.min_inliers or len(picked) >= p.max_labels:
-            break
-        dup = False
-        for j in picked:
-            inter = (masks[i] & masks[j]).sum()
-            union = (masks[i] | masks[j]).sum()
-            if union and inter / union >= p.nms_iou:
-                dup = True
+    if p.model == "fundamental":
+        # Marginal-coverage (facility-location) greedy: epipolar 'bridge'
+        # models spanning two motions outcount every pure single-motion
+        # model, so count+NMS fills the roster with bridges and can lose a
+        # motion outright; greedily maximizing NEWLY-covered points makes
+        # a pure model of an uncovered motion beat any bridge (same
+        # calibration as models/selection.py::select_candidates_coverage).
+        # min_gain=4 (NOT min_inliers): after a full two-motion bridge is
+        # taken, a pure model's marginal gain is only the bridge's missed
+        # points — it must still enter the roster so PEARL can dismantle
+        # the bridge (pure Fs fit tighter, expansion reassigns, the bridge
+        # starves and dies to label cost). Mirrors
+        # selection.select_candidates_coverage's min_gain.
+        covered = np.zeros(n, bool)
+        picked = []
+        while len(picked) < p.max_labels:
+            gains = np.array([
+                -1 if i in picked else int((masks[i] & ~covered).sum())
+                for i in range(len(Hs))
+            ])
+            best = int(np.argmax(gains))
+            if gains[best] < 4:
                 break
-        if not dup:
-            picked.append(i)
+            picked.append(best)
+            covered |= masks[best]
+    else:
+        # NMS by inlier IoU (count-ordered)
+        order = np.argsort(-counts)
+        picked = []
+        for i in order:
+            if counts[i] < p.min_inliers or len(picked) >= p.max_labels:
+                break
+            dup = False
+            for j in picked:
+                inter = (masks[i] & masks[j]).sum()
+                union = (masks[i] | masks[j]).sum()
+                if union and inter / union >= p.nms_iou:
+                    dup = True
+                    break
+            if not dup:
+                picked.append(i)
     Hs = Hs[picked]
     k = len(Hs)
     if k == 0:
@@ -273,7 +403,7 @@ def pearl_fit(x1, x2, p: PearlParams):
         # killed before they can grow (same gating as the TPU pipeline).
         beta = p.label_cost if it >= p.pearl_iterations // 2 else 0.0
         # data costs over active labels + outlier
-        r = np.stack([symmetric_error_sq(Hs[l], x1, x2) for l in active])
+        r = np.stack([resid(Hs[l], x1, x2) for l in active])
         d = np.concatenate(
             [
                 np.minimum(r / thr, 8.0).T * p.outlier_cost,
@@ -297,33 +427,114 @@ def pearl_fit(x1, x2, p: PearlParams):
             member = labels == l
             if it >= p.pearl_iterations // 2 and member.sum() < p.min_inliers:
                 continue
-            if member.sum() >= 4:
-                rr = symmetric_error_sq(Hs[l], x1, x2)
+            if member.sum() >= m_min:
+                rr = resid(Hs[l], x1, x2)
                 w = member * np.maximum(0, 1 - rr / thr) ** 2 * (rr < thr)
-                H = dlt(x1, x2, w)
+                H = refit_w(x1, x2, w)
                 if H is not None and np.isfinite(H).all():
-                    if ((symmetric_error_sq(H, x1, x2) < thr).sum()
+                    if ((resid(H, x1, x2) < thr).sum()
                             >= (rr < thr).sum()):
                         Hs[l] = H
             new_active.append(l)
-        # merge duplicates by inlier-set containment (intersection over the
-        # smaller set): fringe fragments mostly contained in a stronger
-        # plane merge away even when union-IoU is small
+        # merge duplicates. Homography: by inlier-set containment
+        # (intersection over the smaller set) — fringe fragments mostly
+        # contained in a stronger plane merge away even when union-IoU is
+        # small. Fundamental: symmetric Jaccard (union IoU) — containment
+        # would kill pure motions inside epipolar bridges (the same
+        # model-class calibration as the TPU pipeline's
+        # merge_duplicate_planes).
+        if p.model == "fundamental":
+            def overlap(a, b):
+                return (a & b).sum() / max((a | b).sum(), 1)
+        else:
+            def overlap(a, b):
+                return (a & b).sum() / max(min(a.sum(), b.sum()), 1)
         merged = []
         masks = {
-            l: symmetric_error_sq(Hs[l], x1, x2) < thr for l in new_active
+            l: resid(Hs[l], x1, x2) < thr for l in new_active
         }
         for l in sorted(new_active, key=lambda l: -masks[l].sum()):
             dup = any(
-                (masks[l] & masks[m]).sum()
-                / max(min(masks[l].sum(), masks[m].sum()), 1)
-                >= p.merge_iou
+                overlap(masks[l], masks[m]) >= p.merge_iou
                 for m in merged
             )
             if not dup:
                 merged.append(l)
         active = merged
         labels = np.where(np.isin(labels, active), labels, k)
+
+        # Fundamental only: UNION-REFIT merge (J-linkage-style criterion).
+        # Two under-grown fragments of one motion share few tau-inliers
+        # (Jaccard can't see them as duplicates) yet a single F refit on
+        # their joint members still covers both — merge exactly then.
+        # Two genuinely distinct motions fail the union fit. Runs on
+        # MEMBERS (current labeling), not tau-masks, so a bridge
+        # hypothesis that lost its second motion's points to a pure model
+        # cannot re-absorb them here.
+        if p.model == "fundamental":
+            changed = True
+            while changed and len(active) > 1:
+                changed = False
+                order = sorted(active, key=lambda l: -(labels == l).sum())
+                for i, la in enumerate(order):
+                    for lb in order[i + 1:]:
+                        ma, mb = labels == la, labels == lb
+                        if ma.sum() < m_min or mb.sum() < m_min:
+                            continue
+                        w = (ma | mb).astype(float)
+                        Hu = refit_w(x1, x2, w)
+                        if Hu is None or not np.isfinite(Hu).all():
+                            continue
+                        ru = resid(Hu, x1, x2) < thr
+                        if (ru[ma].mean() >= 0.8 and ru[mb].mean() >= 0.8):
+                            labels = np.where(mb, la, labels)
+                            active = [l for l in active if l != lb]
+                            Hs[la] = Hu
+                            changed = True
+                            break
+                    if changed:
+                        break
+
+        # Explicit label-cost pruning by COLLECTIVE energy gain
+        # (fundamental only; mirrors the TPU pipeline's multi-round
+        # prune). Expansion's per-move label-cost handling can only empty
+        # a label when ONE alpha absorbs all its members in a single
+        # move; a junk motion whose members' second-best labels differ
+        # survives every individual move even when removing it outright
+        # is profitable. Here: remove the label whose members' total
+        # switch-to-best-alternative data cost is less than beta, up to 8
+        # per iteration, reassigning members by data-cost argmin (the
+        # next expansion re-optimizes smoothness; on the final iteration
+        # the argmin assignment is the exact greedy).
+        if p.model == "fundamental" and beta > 0:
+            for _ in range(8):
+                if len(active) <= 1:
+                    break
+                rmap = {l: resid(Hs[l], x1, x2) for l in active}
+                dmap = {
+                    l: np.minimum(rmap[l] / thr, 8.0) * p.outlier_cost
+                    for l in active
+                }
+                best_gain, best_l, best_alt = 0.0, None, None
+                for l in active:
+                    member = labels == l
+                    others = [m for m in active if m != l]
+                    alt_stack = np.stack(
+                        [dmap[m] for m in others]
+                        + [np.full(n, p.outlier_cost)]
+                    )
+                    alt_idx = np.argmin(alt_stack, axis=0)
+                    alt_cost = alt_stack[alt_idx, np.arange(n)]
+                    switch = (alt_cost - dmap[l])[member].sum()
+                    gain = beta - switch
+                    if gain > best_gain:
+                        alt_lab = np.array(others + [k])[alt_idx]
+                        best_gain, best_l, best_alt = gain, l, alt_lab
+                if best_l is None:
+                    break
+                member = labels == best_l
+                labels = np.where(member, best_alt, labels)
+                active = [l for l in active if l != best_l]
 
     return labels, Hs, active
 
