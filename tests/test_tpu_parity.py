@@ -281,3 +281,127 @@ class TestWindowGatherOnDevice:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=0, atol=1e-6
         )
+
+
+class TestFModelOnDevice:
+    """Fundamental-model TPU paths (the multi-model extension): the f_*
+    residual kinds of the Pallas count kernel and the 12-point
+    normal-equations solver, both vs their jnp/float64 references ON
+    DEVICE (same rigor as the homography rows in docs/TPU_PARITY.md)."""
+
+    def _random_fs(self, rng, s):
+        # plausible pixel-scale fundamental matrices: from random
+        # two-view geometries (rank 2 by construction)
+        K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+        Fs = []
+        for _ in range(s):
+            a = rng.normal(0, 0.1, 3)
+            th = np.linalg.norm(a) + 1e-12
+            k = a / th
+            Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                           [-k[1], k[0], 0]])
+            R = (np.eye(3) + np.sin(th) * Kx
+                 + (1 - np.cos(th)) * Kx @ Kx)
+            t = rng.normal(0, 1, 3)
+            tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                           [-t[1], t[0], 0]])
+            F = np.linalg.inv(K).T @ tx @ R @ np.linalg.inv(K)
+            Fs.append(F / np.linalg.norm(F))
+        return jnp.asarray(np.stack(Fs).astype(np.float32))
+
+    @pytest.mark.parametrize(
+        "kind", ["f_symmetric", "f_transfer", "f_sampson"]
+    )
+    def test_f_counts_match_jnp_within_boundary_ties(self, rng, kind):
+        from multih_tpu.ops import fmodel
+        from multih_tpu.ops.kernels import residual_kernel
+
+        s, n = 1024, 4096
+        Fs = self._random_fs(rng, s)
+        x1 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+        valid = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))
+        thr = jnp.asarray(9.0, jnp.float32)
+        ref = jnp.sum(
+            (fmodel.residual_matrix_f(Fs, x1, x2, kind[2:]) < thr)
+            * valid[None, :], axis=1,
+        )
+        got = residual_kernel.inlier_counts_padded(
+            Fs, x1, x2, valid, thr, kind=kind
+        )
+        d = np.abs(np.asarray(got) - np.asarray(ref))
+        assert d.max() <= 2.0, d.max()
+        assert d.mean() < 0.5, d.mean()
+        got_exact = residual_kernel.inlier_counts_padded(
+            Fs, x1, x2, valid, thr, approx_rcp=False, kind=kind
+        )
+        d2 = np.abs(np.asarray(got_exact) - np.asarray(ref))
+        assert d2.max() <= 1.0, d2.max()
+
+    def test_npt_solver_matches_float64_oracle(self, rng):
+        """fundamental_npt_batch (12-pt normal equations + 9x9 eig,
+        cfg.f_sample_points=12) on device vs a float64 NumPy SVD solve
+        of the same samples: residual geometry must agree (Sampson RMS
+        on the sample points ~ 0 for both, entry-wise F after sign
+        alignment within fp32 normal-equation tolerance)."""
+        from multih_tpu.ops import fmodel
+
+        s, m = 512, 12
+        K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+        p1s, p2s = [], []
+        for _ in range(s):
+            X = rng.uniform([-2, -2, 4], [2, 2, 10], (m, 3))
+            a = rng.normal(0, 0.1, 3)
+            th = np.linalg.norm(a) + 1e-12
+            k = a / th
+            Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                           [-k[1], k[0], 0]])
+            R = (np.eye(3) + np.sin(th) * Kx
+                 + (1 - np.cos(th)) * Kx @ Kx)
+            t = np.array([1.0, 0.2, 0.1]) + rng.normal(0, 0.1, 3)
+            Y1 = X / X[:, 2:]
+            Y2 = (R @ X.T).T + t
+            Y2 = Y2 / Y2[:, 2:]
+            p1s.append((K @ Y1.T).T[:, :2])
+            p2s.append((K @ Y2.T).T[:, :2])
+        p1 = jnp.asarray(np.stack(p1s).astype(np.float32))
+        p2 = jnp.asarray(np.stack(p2s).astype(np.float32))
+        got = np.asarray(fmodel.fundamental_npt_batch(p1, p2, 6, "eigh"))
+
+        def np8pt(x1, x2):
+            x1 = np.asarray(x1, np.float64)
+            x2 = np.asarray(x2, np.float64)
+
+            def norm(x):
+                mean = x.mean(0)
+                c = x - mean
+                sc = np.sqrt(2) / max(np.sqrt((c**2).sum(1).mean()), 1e-12)
+                T = np.array([[sc, 0, -sc * mean[0]],
+                              [0, sc, -sc * mean[1]], [0, 0, 1]])
+                return c * sc, T
+
+            x1n, T1 = norm(x1)
+            x2n, T2 = norm(x2)
+            x, y = x1n[:, 0], x1n[:, 1]
+            u, v = x2n[:, 0], x2n[:, 1]
+            a = np.stack([u*x, u*y, u, v*x, v*y, v, x, y,
+                          np.ones(len(x))], 1)
+            _, _, vt = np.linalg.svd(a)
+            Fn = vt[-1].reshape(3, 3)
+            uu, ss, vv = np.linalg.svd(Fn)
+            Fn = uu @ np.diag([ss[0], ss[1], 0]) @ vv
+            F = T2.T @ Fn @ T1
+            return F / np.linalg.norm(F)
+
+        errs = []
+        for i in range(s):
+            ref = np8pt(p1s[i], p2s[i])
+            g = got[i]
+            sgn = np.sign(np.sum(g * ref)) or 1.0
+            errs.append(np.abs(sgn * g - ref).max())
+        errs = np.array(errs)
+        # fp32 normal equations square the conditioning; Hartley
+        # normalization keeps the bulk tight — median well under 1e-3,
+        # and even tail samples stay geometrically equivalent
+        assert np.median(errs) < 1e-3, np.median(errs)
+        assert np.mean(errs < 1e-2) > 0.95, (errs.mean(), errs.max())
