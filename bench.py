@@ -4,9 +4,10 @@ Metric: verified homography hypotheses / sec / chip (BASELINE.json:5 target:
 >= 50,000), measured on the full pipeline's hypothesize+verify sweep at the
 ACTUAL stress configuration (10240 correspondences, 102400-hypothesis pool,
 70% outliers — BASELINE.json:10). Secondary fields: per-pair fit latency,
-streaming fps/p95, full stress-fit latency, and the verification kernel's
-Gpair/s with an estimated %-of-VPU-peak (assumptions documented at
-_VERIFY_FLOPS_PER_PAIR / _VPU_PEAK_FLOPS).
+streaming fps/p95, full stress-fit latency, the multi-model extension's
+motion-segmentation fit (model='fundamental'), and the verification
+kernel's Gpair/s with an estimated %-of-VPU-peak (assumptions documented
+at _VERIFY_FLOPS_PER_PAIR / _VPU_PEAK_FLOPS).
 
 vs_baseline is measured against the 50k hyp/s/chip contract (no published
 reference numbers exist: BASELINE.json:13, BASELINE.md).
@@ -300,6 +301,56 @@ def bench_stress(iters=3):
     return times[len(times) // 2], device_ms, planes
 
 
+def bench_motion(iters=3):
+    """Multi-model extension: motion segmentation (model='fundamental')
+    through the same pipeline — the other half of the AdelaideRMF
+    benchmark. Measured on the suite's posedness-checked fm4_b scene
+    (600 correspondences, 4 rigid motions, 15% outliers, 0.5 px noise —
+    benchmarks/suite.py documents the bridge-F posedness check) with an
+    8,192-hypothesis 8-point pool. Returns (median blocked seconds,
+    device ms from a jax.profiler trace, motions recovered,
+    misclassification %)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import multih_tpu
+    from multih_tpu.utils import data, evaluation, tracing
+
+    cfg = multih_tpu.MultiHConfig(
+        max_points=1024, n_hypotheses=8192, model="fundamental",
+        residual="sampson", inlier_threshold=3.0,
+    )
+    cs, _ = data.synthetic_motion_scene(600, 4, 0.15, 0.5, seed=216)
+    x1, x2, valid, gt = multih_tpu.pad_points(
+        cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+    )
+    x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+    f = multih_tpu.make_fit(cfg)
+    res = f(x1, x2, valid, jax.random.key(0))
+    jax.block_until_ready(res)
+    motions = float(jnp.sum(res.active))
+    miscls = evaluation.misclassification_error(
+        np.asarray(res.labels), gt, cfg.max_labels
+    )
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            r = None
+            for i in range(iters):
+                r = f(x1, x2, valid, jax.random.key(100 + i))
+            jax.block_until_ready(r.labels)
+        device_ms = tracing.median_device_ms(td, min_ms=1.0)
+    return times[len(times) // 2], device_ms, motions, miscls
+
+
 def main():
     import os
 
@@ -319,6 +370,7 @@ def main():
     pair_s = bench_pair_latency()
     stream, stream_pre = bench_stream()
     stress_s, stress_dev_ms, stress_planes = bench_stress()
+    motion_s, motion_dev_ms, motions, motion_err = bench_motion()
     hyp_per_s, hv_sweep_s = bench_hypothesis_throughput()
     gpairs, vpu_pct, verify_s = bench_verification_kernel()
     target = 50_000.0  # BASELINE.json:5
@@ -351,6 +403,17 @@ def main():
                         if stress_dev_ms is not None else None
                     ),
                     "stress_planes_recovered": stress_planes,
+                    # multi-model extension: motion segmentation
+                    # (model='fundamental') — suite scene fm4_b (600 pts,
+                    # 4 motions, 15% outliers), 8,192 hypotheses; same
+                    # pipeline, swapped geometric model (ops/fmodel.py)
+                    "motion_fit_ms": round(motion_s * 1e3, 1),
+                    "motion_fit_device_ms": (
+                        round(motion_dev_ms, 1)
+                        if motion_dev_ms is not None else None
+                    ),
+                    "motions_recovered": motions,
+                    "motion_miscls_pct": round(motion_err, 2),
                     "stress_hypothesize_verify_s": round(hv_sweep_s, 4),
                     "stress_verify_sweep_s": round(verify_s, 4),
                     "verify_gpairs_per_s": round(gpairs, 2),

@@ -187,6 +187,46 @@ class TestHypShardedFullFit:
         )
         assert err < 5.0, err
 
+    def test_full_fit_hyp_sharded_parity_fundamental(self):
+        """The multi-model extension under the hyp mesh: the fundamental-
+        matrix (motion segmentation) fit sharded over the hypothesis axis
+        must match the single-device fit exactly — the shard-local
+        8-point sampling/solves and the f_* verification kinds reproduce
+        the unsharded pool bit-for-bit (same contract as the homography
+        path above)."""
+        import jax.numpy as jnp
+
+        cfg = multih_tpu.MultiHConfig(
+            max_points=128, n_hypotheses=512, n_candidates=64,
+            max_labels=8, model="fundamental", residual="sampson",
+            inlier_threshold=3.0,
+        )
+        mesh = sharding.make_mesh(jax.devices()[:8], pair_axis=1)
+        cs, _ = data.synthetic_motion_scene(100, 2, 0.1, 0.0, seed=3)
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, cfg.max_points
+        )
+        x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+        key = jax.random.key(11)
+
+        res_sh = sharding.hyp_sharded_fit(cfg, mesh)(x1, x2, valid, key)
+        res_1 = multih_tpu.make_fit(cfg)(x1, x2, valid, key)
+
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.labels), np.asarray(res_1.labels)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.active), np.asarray(res_1.active)
+        )
+        gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+        )[3]
+        err = evaluation.misclassification_error(
+            np.asarray(res_sh.labels), gt, cfg.max_labels
+        )
+        assert int(np.asarray(res_sh.active).sum()) == 2
+        assert err < 5.0, err
+
 
 class TestPerPairTau:
     def test_taus_vector_matches_per_pair_threshold(self, tiny_cfg, pairs):
