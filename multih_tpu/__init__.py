@@ -8,6 +8,7 @@ alternating optimization — designed TPU-first, not translated.
 """
 
 from multih_tpu.config import MultiHConfig, DEFAULT
+from multih_tpu.models.mixed import MixedFitResult, fit_mixed, make_fit_mixed
 from multih_tpu.models.pipeline import (
     FitResult,
     estimate_tau,

@@ -56,11 +56,14 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--residual", default="symmetric",
                    choices=["symmetric", "transfer", "sampson"])
     p.add_argument("--model", default="homography",
-                   choices=["homography", "fundamental"],
+                   choices=["homography", "fundamental", "mixed"],
                    help="geometric model class: 'homography' = multiple "
                         "scene planes (the reference's problem); "
                         "'fundamental' = multi-motion segmentation "
-                        "(8-pt minimal solves, epipolar residuals)")
+                        "(8-pt minimal solves, epipolar residuals); "
+                        "'mixed' = planes AND motions in one label space "
+                        "(models/mixed.py — H stage, F stage on the "
+                        "remainder, joint PEARL polish)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--restarts", type=int, default=1,
                    help="fit this many times with different seeds and keep "
@@ -105,9 +108,111 @@ def _setup_jax(platform):
     return jax
 
 
+def _fit_one_mixed(cs, args):
+    """The `--model mixed` CLI path: plane stage + motion stage + joint
+    polish in one XLA program (models/mixed.py). Restarts keep the
+    lowest joint-energy result; --adaptive-tau is a single-class
+    calibration and is rejected here."""
+    import numpy as np
+
+    if getattr(args, "adaptive_tau", False):
+        print("--adaptive-tau is not supported with --model mixed "
+              "(per-class thresholds; pass --threshold)", file=sys.stderr)
+        sys.exit(2)
+    args.n_points_hint = cs.n_points
+    args.model = "homography"
+    cfg_h = _build_config(args)
+    args.model = "fundamental"
+    args_f_res = args.residual
+    args.residual = "sampson"  # epipolar stage: first-order geometric
+    cfg_f = _build_config(args)
+    args.residual = args_f_res
+    args.model = "mixed"
+    jax = _setup_jax(args.platform)
+    import multih_tpu
+    from multih_tpu.models import mixed
+    from multih_tpu.utils import evaluation
+
+    if cs.gt_labels is not None:
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+    else:
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, cfg_h.max_points
+        )
+        gt = None
+    f = mixed.make_fit_mixed(cfg_h, cfg_f)
+    t0 = time.perf_counter()
+    res = f(x1, x2, valid, jax.random.key(args.seed))
+    jax.block_until_ready(res.labels)
+    t_total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = f(x1, x2, valid, jax.random.key(args.seed + 1))
+    jax.block_until_ready(res.labels)
+    t_warm = time.perf_counter() - t0
+    for r in range(1, max(args.restarts, 1)):
+        cand = f(x1, x2, valid, jax.random.key(args.seed + 7919 * r))
+        if float(np.asarray(cand.energy)) < float(np.asarray(res.energy)):
+            res = cand
+
+    k_union = cfg_h.max_labels + cfg_f.max_labels
+    labels = np.asarray(res.labels)[: cs.n_points]
+    active = np.asarray(res.active)
+    is_f = np.asarray(res.is_f)
+    out = {
+        "name": cs.name,
+        "n_points": cs.n_points,
+        "n_planes_found": int(active[is_f == 0].sum()),
+        "n_motions_found": int(active[is_f == 1].sum()),
+        "support_planes":
+            np.asarray(res.support)[(active > 0) & (is_f == 0)].tolist(),
+        "support_motions":
+            np.asarray(res.support)[(active > 0) & (is_f == 1)].tolist(),
+        "energy": float(np.asarray(res.energy)),
+        "time_total_s": round(t_total, 4),
+        "time_warm_s": round(t_warm, 4),
+    }
+    if gt is not None:
+        out["misclassification_pct"] = evaluation.misclassification_error(
+            labels, gt[: cs.n_points], k_union
+        )
+    models = np.asarray(res.models)[active > 0]
+    kinds = ["F" if v else "H" for v in is_f[active > 0]]
+    if args.json:
+        out["models"] = models.tolist()
+        out["model_kinds"] = kinds
+        print(json.dumps(out))
+    else:
+        print(f"pair: {out['name']}  points: {out['n_points']}")
+        print(f"planes found: {out['n_planes_found']}  "
+              f"support: {out['support_planes']}")
+        print(f"motions found: {out['n_motions_found']}  "
+              f"support: {out['support_motions']}")
+        if "misclassification_pct" in out:
+            print(f"misclassification: {out['misclassification_pct']:.2f}%")
+        print(f"energy: {out['energy']:.2f}  warm latency: "
+              f"{out['time_warm_s']*1e3:.2f} ms")
+        for i, (m, kind) in enumerate(zip(models, kinds)):
+            print(f"{kind}[{i}] =")
+            for row in m:
+                print("   ", " ".join(f"{v:+.6e}" for v in row))
+    if args.save_labels:
+        np.savetxt(args.save_labels, labels, fmt="%d")
+    if args.save_viz:
+        from multih_tpu.utils import viz
+
+        viz.save_labels_figure(
+            args.save_viz, cs.x1, cs.x2, labels, k_union
+        )
+    return out
+
+
 def _fit_one(cs, args):
     import numpy as np
 
+    if getattr(args, "model", "homography") == "mixed":
+        return _fit_one_mixed(cs, args)
     args.n_points_hint = cs.n_points
     cfg = _build_config(args)
     jax = _setup_jax(args.platform)
@@ -299,7 +404,13 @@ def cmd_fit_images(args):
 def cmd_synth(args):
     from multih_tpu.utils import data
 
-    if getattr(args, "model", "homography") == "fundamental":
+    if getattr(args, "model", "homography") == "mixed":
+        cs, _, _ = data.synthetic_mixed_scene(
+            n_points=args.points, n_planes=args.planes,
+            n_motions=args.motions, outlier_rate=args.outliers,
+            noise_px=args.noise, seed=args.seed,
+        )
+    elif getattr(args, "model", "homography") == "fundamental":
         cs, _ = data.synthetic_motion_scene(
             n_points=args.points, n_motions=args.planes,
             outlier_rate=args.outliers, noise_px=args.noise,
@@ -440,6 +551,9 @@ def main(argv=None):
     p_sy.add_argument("--points", type=int, default=500)
     p_sy.add_argument("--planes", type=int, default=2,
                       help="planes (or motions with --model fundamental)")
+    p_sy.add_argument("--motions", type=int, default=1,
+                      help="independently moving non-planar rigid bodies "
+                           "(--model mixed only)")
     p_sy.add_argument("--outliers", type=float, default=0.1)
     p_sy.add_argument("--noise", type=float, default=0.5)
     _add_common(p_sy)

@@ -1,3 +1,3 @@
-from multih_tpu.models import labeling, pipeline, selection
+from multih_tpu.models import labeling, mixed, pipeline, selection
 
-__all__ = ["labeling", "pipeline", "selection"]
+__all__ = ["labeling", "mixed", "pipeline", "selection"]

@@ -286,6 +286,70 @@ def _unit(v: np.ndarray) -> np.ndarray:
     return v / (np.linalg.norm(v) + 1e-12)
 
 
+def synthetic_mixed_scene(
+    n_points: int = 600,
+    n_planes: int = 2,
+    n_motions: int = 1,
+    outlier_rate: float = 0.1,
+    noise_px: float = 0.0,
+    seed: int = 0,
+    image_size: float = 640.0,
+) -> tuple[CorrespondenceSet, np.ndarray, np.ndarray]:
+    """Mixed plane + motion two-view scene with known GT — the fixture of
+    the mixed multi-class fit (models/mixed.py): planar structures (each
+    an independent random homography region, as `synthetic_scene`) and
+    independently moving non-planar rigid bodies (3D blobs under their
+    own (R, t), as `synthetic_motion_scene`) in ONE correspondence set.
+
+    GT label convention: 0 = outlier, 1..P = planes,
+    P+1..P+M = motions. Points are split evenly between the plane and
+    motion halves (then evenly within each half).
+
+    Returns (CorrespondenceSet, (P, 3, 3) true homographies,
+    (M, 3, 3) true fundamental matrices)."""
+    rng = np.random.default_rng(seed)
+    n_out = int(round(n_points * outlier_rate))
+    n_in = n_points - n_out
+    n_h = n_in // 2 if n_motions > 0 else n_in
+    n_f = n_in - n_h if n_motions > 0 else 0
+
+    cs_h, Hs = synthetic_scene(
+        n_h, n_planes, 0.0, noise_px, seed=seed * 7919 + 1,
+        image_size=image_size,
+    )
+    parts_x1, parts_x2, parts_lab = [cs_h.x1], [cs_h.x2], [cs_h.gt_labels]
+    if n_motions > 0:
+        cs_f, Fs = synthetic_motion_scene(
+            n_f, n_motions, 0.0, noise_px, seed=seed * 7919 + 2,
+            image_size=image_size,
+        )
+        parts_x1.append(cs_f.x1)
+        parts_x2.append(cs_f.x2)
+        parts_lab.append(
+            np.where(cs_f.gt_labels > 0, cs_f.gt_labels + n_planes, 0)
+        )
+    else:
+        Fs = np.zeros((0, 3, 3), np.float32)
+    if n_out:
+        parts_x1.append(
+            rng.uniform(0, image_size, (n_out, 2)).astype(np.float32)
+        )
+        parts_x2.append(
+            rng.uniform(0, image_size, (n_out, 2)).astype(np.float32)
+        )
+        parts_lab.append(np.zeros(n_out, np.int32))
+
+    x1 = np.concatenate(parts_x1).astype(np.float32)
+    x2 = np.concatenate(parts_x2).astype(np.float32)
+    lab = np.concatenate(parts_lab).astype(np.int32)
+    perm = rng.permutation(x1.shape[0])
+    cs = CorrespondenceSet(
+        x1[perm], x2[perm], lab[perm],
+        f"synthetic_mixed_p{n_planes}_m{n_motions}_s{seed}",
+    )
+    return cs, Hs, Fs
+
+
 def adelaide_pairs(root: str) -> list[str]:
     """The 19 homography pairs of the AdelaideRMF benchmark, if present
     under `root` as .mat files (BASELINE.json:9). Returns found paths."""

@@ -1,0 +1,150 @@
+"""Mixed multi-class fitting (models/mixed.py): homographies AND
+fundamental matrices in one label space — the multi-model extension's
+capstone (above SURVEY.md §2 parity; see the module docstring for the
+containment-asymmetry design rationale).
+
+Accuracy contracts follow the fundamental-model suite's calibration
+style (tests/test_fmodel_pipeline.py): epipolar constraints are 1-D, so
+exact-0% is not the right bar for the motion half of a mixed scene."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import multih_tpu
+from multih_tpu.models import mixed
+from multih_tpu.utils import data, evaluation
+
+
+@pytest.fixture(scope="module")
+def cfgs():
+    cfg_h = multih_tpu.MultiHConfig(
+        max_points=640, n_hypotheses=2048, max_labels=8,
+    )
+    cfg_f = multih_tpu.MultiHConfig(
+        max_points=640, n_hypotheses=2048, max_labels=8,
+        model="fundamental", residual="sampson", inlier_threshold=3.0,
+    )
+    return cfg_h, cfg_f
+
+
+def run_mixed(cs, cfg_h, cfg_f, seed=0, **kw):
+    x1, x2, valid, gt = multih_tpu.pad_points(
+        cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+    )
+    f = mixed.make_fit_mixed(cfg_h, cfg_f, **kw)
+    res = f(x1, x2, valid, jax.random.key(seed))
+    k_union = cfg_h.max_labels + cfg_f.max_labels
+    err = evaluation.misclassification_error(
+        np.asarray(res.labels), gt, k_union
+    )
+    return res, err, gt
+
+
+def class_counts(res, cfg_h):
+    act = np.asarray(res.active)
+    is_f = np.asarray(res.is_f)
+    return int(act[is_f == 0].sum()), int(act[is_f == 1].sum())
+
+
+class TestMixedScene:
+    def test_planes_plus_motion(self, cfgs):
+        """2 planes + 1 non-planar rigid motion + 10% outliers: both
+        classes recovered, each GT structure matched by a model of the
+        RIGHT class, misclassification within the motion-suite bar."""
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(
+            600, 2, 1, 0.1, 0.5, seed=4
+        )
+        res, err, gt = run_mixed(cs, cfg_h, cfg_f, seed=0)
+        n_h, n_f = class_counts(res, cfg_h)
+        assert n_h == 2, (n_h, n_f)
+        assert n_f == 1, (n_h, n_f)
+        assert err < 6.0, err
+        # class consistency of the optimal label matching: every matched
+        # (pred, gt) pair must pair a plane label with a GT plane and a
+        # motion label with a GT motion (Hungarian is class-blind, so
+        # this is a real check, not a tautology)
+        k_union = cfg_h.max_labels + cfg_f.max_labels
+        mapping = evaluation.match_labels(
+            np.asarray(res.labels), gt, k_union
+        )
+        for p, g in mapping.items():
+            if p == k_union or g == 0:
+                continue
+            pred_is_f = p >= cfg_h.max_labels
+            gt_is_f = g > 2  # GT: 1..2 planes, 3 motion
+            assert pred_is_f == gt_is_f, (mapping, p, g)
+
+    def test_two_motions_two_planes(self, cfgs):
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(
+            600, 2, 2, 0.1, 0.5, seed=11
+        )
+        res, err, _ = run_mixed(cs, cfg_h, cfg_f, seed=1)
+        n_h, n_f = class_counts(res, cfg_h)
+        assert n_h == 2, (n_h, n_f)
+        assert n_f == 2, (n_h, n_f)
+        assert err < 8.0, err
+
+    def test_pure_plane_scene_spawns_no_motions(self, cfgs):
+        """Containment asymmetry guard: on an all-planar scene the motion
+        stage sees only leftovers/outliers and must surface NOTHING —
+        an F 'bridging' the planes' points would be the classic mixed-
+        fitting failure (module docstring)."""
+        cfg_h, cfg_f = cfgs
+        cs, _ = data.synthetic_scene(500, 3, 0.1, 0.5, seed=2)
+        res, err, _ = run_mixed(cs, cfg_h, cfg_f, seed=0)
+        n_h, n_f = class_counts(res, cfg_h)
+        assert n_h == 3, (n_h, n_f)
+        assert n_f == 0, (n_h, n_f)
+        assert err < 3.0, err
+
+    def test_pure_motion_scene(self, cfgs):
+        """All-motion scene: planes may legitimately claim near-planar
+        slices of a 3D blob, but the dominant structure must land in the
+        motion class and overall accuracy must hold."""
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(
+            500, 0, 2, 0.1, 0.5, seed=6
+        )
+        res, err, _ = run_mixed(cs, cfg_h, cfg_f, seed=0)
+        _, n_f = class_counts(res, cfg_h)
+        assert n_f == 2, np.asarray(res.active)
+        assert err < 8.0, err
+
+    def test_polish_zero_equals_sequential(self, cfgs):
+        """polish=0 degenerates to the pure sequential composition: the
+        H-stage labels survive verbatim where planes claimed points."""
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(400, 1, 1, 0.1, 0.0, seed=9)
+        x1, x2, valid, _ = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        res = mixed.make_fit_mixed(
+            cfg_h, cfg_f, polish_meanfield=0, polish_icm=0
+        )(x1, x2, valid, jax.random.key(0))
+        lab_h = np.asarray(res.result_h.labels)
+        lab = np.asarray(res.labels)
+        on_plane = lab_h < cfg_h.max_labels
+        # active-plane members keep their stage-1 label exactly
+        act = np.asarray(res.active)
+        kept = on_plane & (act[np.clip(lab_h, 0, act.size - 1)] > 0)
+        np.testing.assert_array_equal(lab[kept], lab_h[kept])
+
+    def test_support_and_labels_consistent(self, cfgs):
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(400, 1, 1, 0.1, 0.5, seed=3)
+        res, _, _ = run_mixed(cs, cfg_h, cfg_f, seed=2)
+        lab = np.asarray(res.labels)
+        sup = np.asarray(res.support)
+        act = np.asarray(res.active)
+        k_union = cfg_h.max_labels + cfg_f.max_labels
+        for l in range(k_union):
+            n_l = int(np.sum(lab == l))
+            if act[l] > 0:
+                assert n_l == int(sup[l]), (l, n_l, sup[l])
+                assert n_l >= min(cfg_h.min_inliers, cfg_f.min_inliers)
+            else:
+                assert n_l == 0, (l, n_l)
