@@ -87,6 +87,17 @@ def _add_common(p: argparse.ArgumentParser):
                    help="write a label visualization image (png/jpg)")
 
 
+def _reject_mixed(args, what: str):
+    """Subcommands whose device path is single-class (batched bench,
+    streaming, affine one-point hypotheses) must fail loudly on --model
+    mixed instead of silently fitting homographies under a mixed banner
+    (ADVICE r3, medium)."""
+    if getattr(args, "model", "homography") == "mixed":
+        print(f"--model mixed is not supported by {what}; run 'fit'/"
+              f"'synth' for the mixed multi-class path", file=sys.stderr)
+        sys.exit(2)
+
+
 def _setup_jax(platform):
     import jax
 
@@ -142,7 +153,12 @@ def _fit_one_mixed(cs, args):
             cs.x1, cs.x2, None, cfg_h.max_points
         )
         gt = None
-    f = mixed.make_fit_mixed(cfg_h, cfg_f)
+    if getattr(args, "aot", False):
+        from multih_tpu.utils import aot
+
+        f = aot.cached_fit_mixed(cfg_h, cfg_f)
+    else:
+        f = mixed.make_fit_mixed(cfg_h, cfg_f)
     t0 = time.perf_counter()
     res = f(x1, x2, valid, jax.random.key(args.seed))
     jax.block_until_ready(res.labels)
@@ -363,6 +379,8 @@ def cmd_fit_images(args):
     if args.use_affines:
         import functools
 
+        _reject_mixed(args, "fit-images --use-affines (homography "
+                            "one-point hypothesis path)")
         args.n_points_hint = cs.n_points
         cfg = _build_config(args)
         jax = _setup_jax(args.platform)
@@ -441,6 +459,7 @@ def cmd_bench_adelaide(args):
         print(f"no AdelaideRMF .mat files found under {args.root}",
               file=sys.stderr)
         sys.exit(1)
+    _reject_mixed(args, "bench-adelaide (single-class batched dispatch)")
     css = [data.load_adelaide_mat(p) for p in paths]
     args.n_points_hint = max(cs.n_points for cs in css)
     cfg = _build_config(args)
@@ -495,6 +514,7 @@ def cmd_bench_adelaide(args):
 def cmd_stream(args):
     from multih_tpu.utils import streaming
 
+    _reject_mixed(args, "stream (single-class frame pipeline)")
     _setup_jax(args.platform)
     args.n_points_hint = 480
     cfg = _build_config(args)

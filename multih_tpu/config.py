@@ -236,6 +236,16 @@ class MultiHConfig:
         return 8 if self.model == "fundamental" else 4
 
     def __post_init__(self):
+        if self.model not in ("homography", "fundamental"):
+            # 'mixed' is deliberately NOT a config value: the mixed fit is
+            # composed from TWO configs (models/mixed.py, CLI --model
+            # mixed); accepting it here would silently run the homography
+            # dispatch everywhere downstream (ADVICE r3, medium).
+            raise ValueError(
+                f"model must be 'homography' or 'fundamental', got "
+                f"{self.model!r} (mixed fitting takes two configs via "
+                f"models.mixed.make_fit_mixed)"
+            )
         if self.n_candidates > self.n_hypotheses:
             object.__setattr__(self, "n_candidates", self.n_hypotheses)
         if self.max_labels > self.n_candidates:

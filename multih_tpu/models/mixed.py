@@ -223,8 +223,12 @@ def fit_mixed(x1, x2, valid, key, cfg_h: MultiHConfig,
     labels = jnp.where(active[jnp.clip(labels, 0, k_union - 1)] > 0,
                        labels, k_union).astype(jnp.int32)
     support = support * active
-    energy = labeling.mrf_energy_t(
-        labels, dct, nbr_idx, nbr_w, cfg_h.spatial_weight
+    # full PEARL objective (data + Potts + beta label cost) so restart
+    # selection over mixed fits weighs the per-model penalty the same way
+    # the single-class FitResult.energy does (ADVICE r3, low)
+    energy = labeling.total_energy_t(
+        labels, dct, nbr_idx, nbr_w, cfg_h.spatial_weight,
+        cfg_h.label_cost, active,
     )
     return MixedFitResult(
         labels=labels, models=models, is_f=is_f, active=active,

@@ -51,10 +51,13 @@ def _register_pytrees():
     if _registered:
         return
     from jax import export as jexport
-    from multih_tpu.models import pipeline
+    from multih_tpu.models import mixed, pipeline
 
     jexport.register_namedtuple_serialization(
         pipeline.FitResult, serialized_name="multih_tpu.FitResult"
+    )
+    jexport.register_namedtuple_serialization(
+        mixed.MixedFitResult, serialized_name="multih_tpu.MixedFitResult"
     )
     _registered = True
 
@@ -168,3 +171,70 @@ def cached_fit(cfg, kind: str = "fit", cache_dir: str | None = None,
         except Exception as e:  # export is an optimization, never fatal
             log.warning("AOT export failed (%s); continuing jitted", e)
     return _jit_fit(cfg, kind)
+
+
+# ---------------------------------------------------------------------------
+# mixed multi-class fit (two-config program; ADVICE r3 asked that the CLI's
+# --aot flag cover --model mixed instead of silently re-tracing)
+# ---------------------------------------------------------------------------
+
+def cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
+                    polish_icm) -> str:
+    import jax
+
+    sig = "|".join([
+        _STAMP, jax.__version__, jax.default_backend(), "fit_mixed",
+        repr(cfg_h), repr(cfg_f),
+        repr((f_bias, polish_meanfield, polish_icm)),
+    ])
+    return hashlib.sha256(sig.encode()).hexdigest()[:24]
+
+
+def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.35,
+                     polish_meanfield: int = 4, polish_icm: int = 2,
+                     cache_dir: str | None = None,
+                     save_on_miss: bool = True):
+    """Mixed-fit analog of `cached_fit`: load-or-export the two-stage +
+    joint-polish program (models/mixed.py). Same fallback semantics —
+    any miss or incompatibility returns the plain jitted fit."""
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+    from multih_tpu.models import mixed
+
+    _register_pytrees()
+    cache_dir = cache_dir or default_cache_dir()
+
+    def _jit():
+        return mixed.make_fit_mixed(
+            cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm
+        )
+
+    path = os.path.join(
+        cache_dir,
+        cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
+                        polish_icm) + ".bin",
+    )
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                exp = jexport.deserialize(fh.read())
+            return jax.jit(exp.call)
+        except Exception as e:
+            log.warning("AOT blob %s unusable (%s); re-tracing", path, e)
+    if save_on_miss:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            n = cfg_h.max_points
+            x1 = jnp.zeros((n, 2), jnp.float32)
+            valid = jnp.ones((n,), jnp.float32)
+            exp = jexport.export(_jit())(x1, x1, valid, jax.random.key(0))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(exp.serialize())
+            os.replace(tmp, path)  # atomic vs concurrent CLI runs
+            with open(path, "rb") as fh:
+                return jax.jit(jexport.deserialize(fh.read()).call)
+        except Exception as e:
+            log.warning("AOT export failed (%s); continuing jitted", e)
+    return _jit()

@@ -310,14 +310,25 @@ def synthetic_mixed_scene(
     rng = np.random.default_rng(seed)
     n_out = int(round(n_points * outlier_rate))
     n_in = n_points - n_out
-    n_h = n_in // 2 if n_motions > 0 else n_in
-    n_f = n_in - n_h if n_motions > 0 else 0
+    if n_planes == 0:
+        n_h, n_f = 0, n_in          # pure-motion scene: no plane half
+    elif n_motions == 0:
+        n_h, n_f = n_in, 0          # pure-plane scene: no motion half
+    else:
+        n_h = n_in // 2
+        n_f = n_in - n_h
 
-    cs_h, Hs = synthetic_scene(
-        n_h, n_planes, 0.0, noise_px, seed=seed * 7919 + 1,
-        image_size=image_size,
-    )
-    parts_x1, parts_x2, parts_lab = [cs_h.x1], [cs_h.x2], [cs_h.gt_labels]
+    parts_x1, parts_x2, parts_lab = [], [], []
+    if n_planes > 0:
+        cs_h, Hs = synthetic_scene(
+            n_h, n_planes, 0.0, noise_px, seed=seed * 7919 + 1,
+            image_size=image_size,
+        )
+        parts_x1.append(cs_h.x1)
+        parts_x2.append(cs_h.x2)
+        parts_lab.append(cs_h.gt_labels)
+    else:
+        Hs = np.zeros((0, 3, 3), np.float32)
     if n_motions > 0:
         cs_f, Fs = synthetic_motion_scene(
             n_f, n_motions, 0.0, noise_px, seed=seed * 7919 + 2,
