@@ -1,0 +1,161 @@
+"""Per-scene accuracy FLOOR of the motion-segmentation suite.
+
+VERDICT r3 task 2 asks either to drive the fundamental-model suite error
+down or to PROVE the residual physics bounds it. This script measures the
+bound: for every motion suite scene, fit each motion's F in float64 on its
+GROUND-TRUTH inliers (the best model any estimator could produce), then
+assign points by nearest squared Sampson/symmetric-epipolar residual with
+the suite tau — i.e. a segmentation armed with perfect models and perfect
+model count. The remaining misclassification is pure residual physics:
+points whose (noisy) coordinates sit closer to a WRONG motion's epipolar
+surface than to their own, plus outliers that fall inside some motion's
+tau band (epipolar constraints are 1-D — a codim-1 surface through a
+cluttered scene absorbs clutter at a rate a codim-2 homography never
+sees).
+
+Outputs one row per scene: GT-model floor under (a) pure nearest-residual
+assignment, (b) + the suite's spatial Potts smoothing (the PEARL labeling
+machinery with data costs from the GT models). The (b) numbers are the
+honest comparison for the pipeline/oracle scores and are cited where the
+golden-parity tolerance is set (tests/test_golden_parity.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from benchmarks import suite  # noqa: E402
+from multih_tpu.utils import evaluation  # noqa: E402
+
+
+def fit_f_gt(x1, x2):
+    """float64 normalized 8-point (all-inlier least squares) + rank-2."""
+    def norm(p):
+        c = p.mean(0)
+        s = np.sqrt(2.0) / max(np.sqrt(((p - c) ** 2).sum(1).mean()), 1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return (p - c) * s, T
+
+    p1, T1 = norm(x1.astype(np.float64))
+    p2, T2 = norm(x2.astype(np.float64))
+    x, y = p1[:, 0], p1[:, 1]
+    u, v = p2[:, 0], p2[:, 1]
+    A = np.stack([u * x, u * y, u, v * x, v * y, v, x, y,
+                  np.ones_like(x)], axis=1)
+    _, _, vt = np.linalg.svd(A, full_matrices=False)
+    F = vt[-1].reshape(3, 3)
+    uF, sF, vtF = np.linalg.svd(F)
+    F = uF @ np.diag([sF[0], sF[1], 0.0]) @ vtF
+    F = T2.T @ F @ T1
+    return F / np.linalg.norm(F)
+
+
+def sampson_sq(F, x1, x2):
+    x1h = np.concatenate([x1, np.ones((len(x1), 1))], 1)
+    x2h = np.concatenate([x2, np.ones((len(x2), 1))], 1)
+    l = x1h @ F.T          # (N, 3) epiline in image 2
+    m = x2h @ F            # (N, 3) epiline in image 1
+    e = np.sum(x2h * l, 1)
+    den = l[:, 0] ** 2 + l[:, 1] ** 2 + m[:, 0] ** 2 + m[:, 1] ** 2
+    return e * e / np.maximum(den, 1e-12)
+
+
+def floor_rows():
+    rows = []
+    for (name, n, motions, outl, noise, seed), (cs, _) in zip(
+        suite.MOTION_SUITE, suite.motion_scenes()
+    ):
+        tau = suite.tau_for_noise(noise)
+        gt = cs.gt_labels
+        Fs = [
+            fit_f_gt(cs.x1[gt == m + 1], cs.x2[gt == m + 1])
+            for m in range(motions)
+        ]
+        r = np.stack([sampson_sq(F, cs.x1, cs.x2) for F in Fs])  # (M, N)
+        # (a) nearest-residual assignment with outlier threshold
+        best = np.argmin(r, axis=0)
+        lab = np.where(r.min(0) < tau * tau, best + 1, 0)
+        err_nn = float(np.mean(lab != gt) * 100.0)
+        # (which half: wrong-motion inliers vs absorbed/lost outliers)
+        inl = gt > 0
+        err_inl = float(np.mean(lab[inl] != gt[inl]) * 100.0)
+        err_out = float(np.mean(lab[~inl] != 0) * 100.0) if (~inl).any() \
+            else 0.0
+        # (b) + spatial Potts smoothing (the pipeline's own machinery fed
+        # with the GT models' residuals — measured on CPU)
+        err_potts = potts_floor(cs, r, tau)
+        rows.append({
+            "scene": name, "noise_px": noise, "outlier_rate": outl,
+            "floor_nn_pct": round(err_nn, 3),
+            "floor_nn_inlier_part_pct": round(err_inl, 3),
+            "floor_nn_outlier_part_pct": round(err_out, 3),
+            "floor_potts_pct": round(err_potts, 3),
+        })
+    return rows
+
+
+def potts_floor(cs, r, tau):
+    """GT models + the suite's labeling machinery (mean-field + ICM with
+    the spatial Potts prior) — the floor comparable to pipeline scores."""
+    import jax
+    import jax.numpy as jnp
+
+    import multih_tpu
+    from multih_tpu.models import labeling
+
+    cfg = multih_tpu.MultiHConfig(
+        max_points=1 << max(9, (cs.n_points - 1).bit_length()),
+        model="fundamental", residual="sampson", inlier_threshold=tau,
+    )
+    x1, x2, valid, gt = multih_tpu.pad_points(
+        cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+    )
+    m = r.shape[0]
+    rp = np.full((cfg.max_labels, cfg.max_points), 1e12, np.float32)
+    rp[:m, : cs.n_points] = r
+    active = np.zeros((cfg.max_labels,), np.float32)
+    active[:m] = 1.0
+
+    @jax.jit
+    def assign(rj, x1, x2, valid, active):
+        thr = jnp.asarray(tau * tau, jnp.float32)
+        dct = labeling.data_costs_t(
+            rj, valid, thr, cfg.outlier_cost, active
+        )
+        nbr_idx, nbr_w = labeling.knn_graph(
+            x1, valid, cfg.knn_k, cfg.knn_row_block
+        )
+        q = labeling.mean_field_t(
+            dct, nbr_idx, nbr_w, cfg.spatial_weight,
+            cfg.meanfield_iterations, cfg.temperature_start,
+            cfg.temperature,
+        )
+        return labeling.best_labeling_t(
+            [jnp.argmax(q, axis=0), jnp.argmin(dct, axis=0)],
+            dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+        )
+
+    lab = np.asarray(
+        assign(jnp.asarray(rp), x1, x2, valid, jnp.asarray(active))
+    )[: cs.n_points]
+    return evaluation.misclassification_error(
+        lab, cs.gt_labels, cfg.max_labels
+    )
+
+
+if __name__ == "__main__":
+    rows = floor_rows()
+    for row in rows:
+        print(json.dumps(row))
+    mean_nn = float(np.mean([r["floor_nn_pct"] for r in rows]))
+    mean_potts = float(np.mean([r["floor_potts_pct"] for r in rows]))
+    print(json.dumps({
+        "suite_mean_floor_nn_pct": round(mean_nn, 3),
+        "suite_mean_floor_potts_pct": round(mean_potts, 3),
+    }))

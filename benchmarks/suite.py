@@ -103,6 +103,36 @@ def motion_scenes():
     return out
 
 
+# Mixed plane + motion suite (models/mixed.py; VERDICT r3 task 4 — the
+# mixed fit gets the same golden-anchored evidence standard as both
+# single-class paths). Covers the regimes the mixed module's own docstring
+# names as hard: H-in-F containment (planes + motions together), the
+# pure-motion edge (no planes at all — the r3 crux regime), and the
+# pure-plane edge (no motions; F stage must come up empty).
+# name, n_points, n_planes, n_motions, outlier_rate, noise_px, seed
+MIXED_SUITE = [
+    ("mx21_a", 600, 2, 1, 0.10, 0.5, 301),
+    ("mx12_a", 600, 1, 2, 0.15, 0.5, 302),
+    ("mx22_a", 700, 2, 2, 0.10, 0.5, 303),
+    ("mx22_b", 700, 2, 2, 0.30, 0.5, 313),
+    ("mx03_a", 500, 0, 3, 0.15, 0.5, 304),   # pure-motion edge
+    ("mx30_a", 500, 3, 0, 0.15, 0.5, 305),   # pure-plane edge
+]
+
+
+def mixed_scenes():
+    """Materialize the mixed suite: list of (CorrespondenceSet, Hs, Fs)."""
+    out = []
+    for name, n, planes, motions, outl, noise, seed in MIXED_SUITE:
+        cs, Hs, Fs = data.synthetic_mixed_scene(
+            n_points=n, n_planes=planes, n_motions=motions,
+            outlier_rate=outl, noise_px=noise, seed=seed,
+        )
+        cs = cs._replace(name=name)
+        out.append((cs, Hs, Fs))
+    return out
+
+
 def tau_for_noise(noise_px: float) -> float:
     """Inlier threshold for a given correspondence noise level.
 

@@ -47,6 +47,20 @@ class MultiHConfig:
     # 27/27 vs 26/27 correct motion counts — fewer, larger clusters
     # lose sample diversity). The float64 parity oracle, which has a
     # simpler growth loop, uses 12 (tools/reference_pearl.py).
+    f_split_refine: bool = True
+    f_split_iterations: int = 4
+    # Split-refine phase (fundamental only): after the main PEARL phase,
+    # every active model's member set is split spatially in half (points
+    # are Morton-sorted, so the index median IS a spatial split), an F is
+    # refit on each half, the roster is re-selected coverage-greedily
+    # from {survivors + splits}, and a short second PEARL phase
+    # (f_split_iterations) runs. This is the split move PEARL lacks: an
+    # epipolar 'bridge' model covering two motions is stable under
+    # member refits (its member set stays mixed, so the weighted LSQ
+    # stays a bridge), but its spatial halves are pure motions — they
+    # win pointwise on data cost and the bridge dies to the label-cost
+    # prune. Measured: fm suite mean 4.91 -> lower with splits; the
+    # homography path never runs this (planes cannot bridge).
 
     # --- geometry / residuals (reference C6) ---
     inlier_threshold: float = 3.0       # px; squared internally
@@ -87,6 +101,27 @@ class MultiHConfig:
     n_candidates: int = 256             # top-M hypotheses kept for NMS
     lo_rounds: int = 3                  # LO refit rounds on the top-M
                                         # (thresholds shrink 4t, 2t, t)
+    lo_shrink: float = 0.0              # LO threshold schedule base: round
+                                        # i of R grows at
+                                        # sqrt(shrink^(R-1-i)) * tau.
+                                        # 0.0 = auto per model class:
+                                        # 4.0 for homographies (classic
+                                        # 4t, 2t, t — a plane H from a
+                                        # tight quad extrapolates
+                                        # quadratically badly and needs
+                                        # the wide rounds to grow), 1.0
+                                        # (fixed-tau growth) for
+                                        # fundamentals — epipolar
+                                        # constraints are 1-D, so a wide
+                                        # first round absorbs OTHER
+                                        # motions' points and LO converts
+                                        # pure samples into two-motion
+                                        # 'bridge' basins that every later
+                                        # stage inherits (measured: motion
+                                        # suite mean 4.60 -> 4.00 at
+                                        # fixed tau; 2.0 and 5-round
+                                        # fixed-tau variants both worse —
+                                        # docs/PERF.md F-accuracy study)
     max_labels: int = 16                # K: max simultaneous planes
     nms_iou: float = 0.8                # inlier-set IoU above which a
                                         # hypothesis is a duplicate
@@ -234,6 +269,14 @@ class MultiHConfig:
         """Points per minimal sample: 4 (homography DLT) or 8 (8-point
         fundamental)."""
         return 8 if self.model == "fundamental" else 4
+
+    @property
+    def lo_shrink_eff(self) -> float:
+        """Resolved LO schedule base (lo_shrink == 0.0 -> per-model auto;
+        see the lo_shrink field comment)."""
+        if self.lo_shrink > 0.0:
+            return self.lo_shrink
+        return 1.0 if self.model == "fundamental" else 4.0
 
     def __post_init__(self):
         if self.model not in ("homography", "fundamental"):

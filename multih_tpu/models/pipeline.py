@@ -493,10 +493,54 @@ def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None,
 count_inliers_chunked = count_inliers
 
 
+def _pt_constrain(mesh):
+    """Sharding-constraint helper for the point (N) axis — SURVEY.md §5
+    'long-context', second scaling axis (VERDICT r3 task 3).
+
+    The fit is one jitted program; sharding it over points is done the
+    idiomatic XLA way — annotate the point-carrying tensors with
+    `with_sharding_constraint` and let GSPMD insert the collectives —
+    rather than hand-writing a shard_map: the banded agreement operator
+    is block-tridiagonal over Morton blocks, so its `jnp.roll` over the
+    block axis lowers to exactly the one-block halo exchange
+    (collective-permute) the decomposition calls for, the windowed k-NN
+    build is per-block compute on the same layout, and the moment-refit /
+    count reductions over N become partial sums + all-reduce.
+
+    Returns c(x, *spec) which constrains when the mesh has a 'pt' axis of
+    size > 1 and is the identity otherwise (zero cost in the common
+    single-chip fit).
+    """
+    if mesh is None or mesh.shape.get("pt", 1) <= 1:
+        return lambda x, *spec: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def c(x, *spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    return c
+
+
+def replicated_ok(vals, axis_name) -> jax.Array:
+    """Runtime replication guard for shard_map regions compiled with
+    check_vma=False (VERDICT r3 task 7): all_gather each value and test
+    exact equality across shards. Returns a float {0,1} scalar that IS
+    replicated by construction (the all_gather + reduction is identical
+    on every shard). Used by the sharding tests to close the gap between
+    'parity-tested on these configs' and 'checked at runtime'."""
+    ok = jnp.bool_(True)
+    for v in vals:
+        g = jax.lax.all_gather(v, axis_name)
+        ok &= jnp.all(g == g[:1])
+    return ok.astype(jnp.float32)
+
+
 def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
                                 cfg: MultiHConfig, tau, mesh,
                                 extra_Hs=None, extra_ok=None,
-                                window_block=0):
+                                window_block=0, replication_check=False):
     """Hypothesis generation AND the verification sweep + top-M, sharded
     over the mesh's 'hyp' axis in one shard_map region (SURVEY.md §2 P3
     inside the full fit — round 3 extends the sharding from verification-
@@ -589,17 +633,23 @@ def _hypothesize_verify_sharded(key, x1, x2, valid, nbr_sample,
                     h_pre, x1, x2, valid, cfg, tau_arr
                 ) * o_all[order]
             c_fin, sel = jax.lax.top_k(counts_full, m)
-            return c_fin, h_pre[sel], n_ok
-        order = jnp.lexsort((s_all, -c_all))[:m]
-        return c_all[order], h_all[order], n_ok
+            out = c_fin, h_pre[sel], n_ok
+        else:
+            order = jnp.lexsort((s_all, -c_all))[:m]
+            out = c_all[order], h_all[order], n_ok
+        if replication_check:
+            return out + (replicated_ok(out, "hyp"),)
+        return out
 
+    n_out = 4 if replication_check else 3
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P("hyp"), P("hyp")),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(),) * n_out,
         # outputs ARE replicated (identical final selection on every
-        # shard) but the static checker cannot infer it
+        # shard) but the static checker cannot infer it; the sharding
+        # tests verify it at runtime via replication_check=True
         check_vma=False,
     )
     return fn(key, x1, x2, valid, nbr_sample, tau_arr, extra_Hs, extra_ok)
@@ -744,17 +794,19 @@ def lo_refine_candidates(Hs, x1, x2, valid, cfg: MultiHConfig, rounds: int,
         better = (count(r_new) >= count(r))[:, None, None]
         return jnp.where(better, Hs_new, Hs), None
 
-    # squared-space multipliers: linear thresholds 2^(rounds-1)*tau .. tau,
-    # e.g. rounds=3 -> thresholds 4tau, 2tau, tau -> squared 16, 4, 1
+    # squared-space multipliers: linear thresholds shrink geometrically to
+    # tau, e.g. lo_shrink=4, rounds=3 -> 4tau, 2tau, tau -> squared
+    # 16, 4, 1; lo_shrink=1 -> fixed-tau growth every round
     mults = jnp.asarray(
-        [4.0 ** (rounds - 1 - i) for i in range(rounds)], x1.dtype
+        [cfg.lo_shrink_eff ** (rounds - 1 - i) for i in range(rounds)],
+        x1.dtype,
     )
     Hs, _ = jax.lax.scan(one_round, Hs, mults)
     return Hs
 
 
 def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
-                     cfg: MultiHConfig, tau=None, adj=None):
+                     cfg: MultiHConfig, tau=None, adj=None, ptc=None):
     """One PEARL alternation (SURVEY.md §3.1 inner loop):
     residuals -> data costs -> mean-field+ICM labeling -> refit -> accept
     -> merge duplicates -> label-cost prune.
@@ -766,9 +818,12 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     Hs, active, q = carry  # q is label-major (L, N) across iterations
     thr = _thr(cfg, tau, x1.dtype)
     k = cfg.max_labels
+    if ptc is None:
+        ptc = lambda x, *spec: x  # noqa: E731 — identity (no pt mesh)
 
     use_k = _pallas_enabled(cfg)
     r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)  # (K, N)
+    r = ptc(r, None, "pt")
     # everything below runs label-major (L, N): points on lanes — the
     # (N, L) forms pad L~17 to 128 lanes, 7.5x the bytes per intermediate
     dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, active)
@@ -787,12 +842,26 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
         dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
         adj=adj, use_kernel=use_k,
     )
+    labels = ptc(labels, "pt")
 
-    # refit on assignments; accept per-plane only if inliers don't shrink
+    # refit on assignments; accept per-plane only if inliers don't shrink.
+    # Homography: GLOBAL inlier count (the reference-calibrated rule;
+    # golden parity anchors it — a plane's H has zero freedom left, so a
+    # member refit never trades global support for member fit).
+    # Fundamental: MEMBER-restricted count — an epipolar 'bridge' model
+    # holding mostly one motion's points must be allowed to purify toward
+    # its members even though the pure F has FEWER global inliers than
+    # the bridge (measured on fm4_a: the global rule preserved a bridge
+    # covering 0.60/0.78 of two motions across all 8 PEARL iterations,
+    # leaving one motion with no pure model and 11% misclassification).
     Hs_new, support = refit_planes(Hs, labels, r, x1, x2, valid, cfg, tau)
     r_new = model_residual_matrix(Hs_new, x1, x2, cfg.residual, cfg)
-    in_old = jnp.sum((r < thr) * valid[None, :], axis=1)
-    in_new = jnp.sum((r_new < thr) * valid[None, :], axis=1)
+    member_k = (
+        labels[None, :] == jnp.arange(k)[:, None]
+    ).astype(x1.dtype) * valid[None, :]  # (K, N)
+    acc_w = member_k if cfg.model == "fundamental" else valid[None, :]
+    in_old = jnp.sum((r < thr) * acc_w, axis=1)
+    in_new = jnp.sum((r_new < thr) * acc_w, axis=1)
     better = (in_new >= in_old)[:, None, None]
     Hs = jnp.where(better, Hs_new, Hs)
     r_acc = jnp.where(better[..., 0], r_new, r)
@@ -860,6 +929,78 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
         labels, dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.label_cost,
         active, adj=adj,
     )
+
+    if cfg.model == "fundamental":
+        # Union-refit merge, ENERGY-TESTED (J-linkage-style consolidation
+        # judged by the PEARL objective itself; mirrors the float64
+        # oracle): two under-grown FRAGMENTS of one motion share few
+        # tau-inliers — the Jaccard merge can't see them as duplicates —
+        # yet one F refit on their joint members covers both. But a
+        # fitted 'bridge' F can ALSO cover >= 0.8 of two DISTINCT motions
+        # inside tau (measured on mx03_a: 0.96/0.95), and no residual-
+        # quality threshold separates the two cases; a free-slot PROPOSAL
+        # doesn't either (a union F never wins members pointwise — each
+        # fragment is LSQ-optimal on its own members, traced on fm4_a).
+        # What does separate them is the energy: merging removes one
+        # label (-label_cost) and raises the joint members' data cost by
+        # Delta = sum over members of (cost under union F - cost under
+        # own F). Measured: fm4_a true-fragment pair Delta ~ 9.6 < beta
+        # 20 (merge), mx03_a bridge Delta ~ 34 > 20 (reject). All K^2
+        # pair refits run as ONE batched moment matmul; the lowest-Delta
+        # passing pair merges per iteration (fragments are few; later
+        # iterations re-run the pass).
+        with jax.named_scope("union_refit_merge"):
+            member_act = member_k * active[:, None]        # (K, N)
+            sup_act = jnp.sum(member_act, axis=1)          # (K,)
+            w_u = (
+                member_act[:, None, :] + member_act[None, :, :]
+            ).reshape(k * k, -1)                           # (K^2, N)
+            basis_u = _prepare_refit_basis(x1, x2, cfg)
+            Hs_u = _refit_batch(w_u, basis_u, cfg)         # (K^2, 3, 3)
+            fin_u = jnp.all(
+                jnp.isfinite(Hs_u.reshape(k * k, -1)), axis=1
+            ).reshape(k, k)
+            r_u = model_residual_matrix(
+                Hs_u, x1, x2, cfg.residual, cfg
+            ).reshape(k, k, -1)
+            inl_u = (r_u < thr).astype(x1.dtype)
+            cov_a = jnp.einsum("abn,an->ab", inl_u, member_act,
+                               precision=jax.lax.Precision.HIGHEST) \
+                / jnp.maximum(sup_act[:, None], 1.0)
+            cov_b = jnp.einsum("abn,bn->ab", inl_u, member_act,
+                               precision=jax.lax.Precision.HIGHEST) \
+                / jnp.maximum(sup_act[None, :], 1.0)
+            # energy delta of the merge: data-cost increase of both
+            # member sets under the union F vs their own F (truncated
+            # quadratic, same shaping as labeling.data_costs_t)
+            d_u = jnp.minimum(r_u / thr, 8.0) * cfg.outlier_cost
+            d_own = jnp.minimum(r_acc / thr, 8.0) * cfg.outlier_cost
+            inc_a = jnp.einsum(
+                "abn,an->ab", d_u, member_act,
+                precision=jax.lax.Precision.HIGHEST,
+            ) - jnp.sum(d_own * member_act, axis=1)[:, None]
+            inc_b = jnp.einsum(
+                "abn,bn->ab", d_u, member_act,
+                precision=jax.lax.Precision.HIGHEST,
+            ) - jnp.sum(d_own * member_act, axis=1)[None, :]
+            delta = inc_a + inc_b
+            m_min = float(cfg.minimal_points)
+            ok_pair = (
+                (cov_a >= 0.8) & (cov_b >= 0.8) & fin_u
+                & (delta < cfg.label_cost)
+                & (active[:, None] > 0) & (active[None, :] > 0)
+                & (sup_act[:, None] >= sup_act[None, :])
+                & (sup_act[:, None] >= m_min)
+                & (sup_act[None, :] >= m_min)
+                & (jnp.arange(k)[:, None] != jnp.arange(k)[None, :])
+            )
+            score = jnp.where(ok_pair, -delta, -jnp.inf).reshape(-1)
+            best = jnp.argmax(score)
+            a_i, b_i = best // k, best % k
+            do = jnp.isfinite(score[best])
+            active = active.at[b_i].set(jnp.where(do, 0.0, active[b_i]))
+            Hs = Hs.at[a_i].set(jnp.where(do, Hs_u[best], Hs[a_i]))
+
     return (Hs, active, q), energy
 
 
@@ -897,6 +1038,10 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     """
     k = cfg.max_labels
     thr = _thr(cfg, tau, x1.dtype)
+    # point-axis sharding anchors (identity unless mesh has a 'pt' axis):
+    # GSPMD propagates from these few constraints — the band/einsum rolls
+    # become one-block halo exchanges, reductions over N become psums
+    ptc = _pt_constrain(mesh)
 
     # spatial (Morton) ordering: all per-sweep neighbor gathers in the
     # PEARL labeling become near-diagonal (~3.4x faster at N=10k); exact —
@@ -906,6 +1051,9 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
         x1, x2, valid = x1[perm], x2[perm], valid[perm]
         if affines is not None:
             affines = affines[perm]
+    x1 = ptc(x1, "pt", None)
+    x2 = ptc(x2, "pt", None)
+    valid = ptc(valid, "pt")
 
     # C8: spatial neighborhood (the Potts smoothness graph). With Morton-
     # ordered points and a block-aligned N, the k-NN search is restricted
@@ -930,6 +1078,8 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
 
     with jax.named_scope("knn_graph"):
         nbr_idx, nbr_w = graph_of(x1)
+        nbr_idx = ptc(nbr_idx, "pt", None)
+        nbr_w = ptc(nbr_w, "pt", None)
     # banded agreement operator: with Morton-ordered points, ~96% of k-NN
     # edges connect near indices (100% under the windowed build), so every
     # PEARL sweep becomes a block-tridiagonal MXU matmul (one-time build
@@ -940,6 +1090,12 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             adj = labeling.build_banded_adjacency(
                 nbr_idx, nbr_w, cfg.agree_block,
                 far_capacity=0 if windowed else None,
+            )
+            # band sharded over its Morton-block axis: each device holds
+            # its own blocks; agree_t's rolls become halo exchanges
+            adj = adj._replace(
+                band=ptc(adj.band, "pt", None, None),
+                deg=ptc(adj.deg, "pt", None),
             )
     else:
         adj = None
@@ -1077,17 +1233,81 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # fragments against the outlier field.
     r0 = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)
     d0 = labeling.data_costs_t(r0, valid, thr, cfg.outlier_cost, active)
-    q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=0)  # (L, N)
+    q0 = ptc(
+        jax.nn.softmax(-d0 / cfg.temperature_start, axis=0), None, "pt"
+    )  # (L, N)
 
     def step(carry, xs):
         return _pearl_iteration(
-            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg, tau, adj
+            carry, xs, x1, x2, valid, nbr_idx, nbr_w, cfg, tau, adj,
+            ptc=ptc,
         )
 
     with jax.named_scope("pearl"):
         (Hs, active, q), energies = jax.lax.scan(
             step, (Hs, active, q0), jnp.arange(cfg.pearl_iterations)
         )
+
+    if cfg.model == "fundamental" and cfg.f_split_refine:
+        # Split move (PEARL has none): bridges — single Fs covering two
+        # motions — are stable under member refits, but their spatial
+        # halves are pure motions. Split every active model's member set
+        # at its index median (points are Morton-sorted: the index median
+        # IS a spatial split), refit an F on each half in one batched
+        # moment matmul, re-select the roster coverage-greedily from
+        # {survivors + splits}, and run a short second PEARL phase. Pure
+        # halves win pointwise on data cost; the bridge loses its members
+        # and dies to the label-cost prune. See config.f_split_refine.
+        with jax.named_scope("split_refine"):
+            r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)
+            dct = labeling.data_costs_t(
+                r, valid, thr, cfg.outlier_cost, active
+            )
+            lab_s = labeling.best_labeling_t(
+                [jnp.argmax(q, axis=0), jnp.argmin(dct, axis=0)],
+                dct, nbr_idx, nbr_w, cfg.spatial_weight,
+                cfg.icm_iterations, adj=adj,
+                use_kernel=_pallas_enabled(cfg),
+            )
+            member = (
+                lab_s[None, :] == jnp.arange(k)[:, None]
+            ).astype(x1.dtype) * valid[None, :]  # (K, N)
+            cum = jnp.cumsum(member, axis=1)
+            half = cum[:, -1:] * 0.5
+            rr = jnp.clip(r / thr, 0.0, 1.0)
+            tk = (1.0 - rr) ** 2 * (r < thr)
+            w_split = jnp.concatenate(
+                [member * (cum <= half), member * (cum > half)], axis=0
+            ) * jnp.tile(tk, (2, 1))  # (2K, N)
+            basis = _prepare_refit_basis(x1, x2, cfg)
+            Hs_split = _refit_batch(w_split, basis, cfg)
+            n_eff = jnp.sum((w_split > 0).astype(x1.dtype), axis=1)
+            ok_split = (
+                (n_eff >= float(cfg.minimal_points))
+                & jnp.all(jnp.isfinite(Hs_split.reshape(-1, 9)), axis=1)
+            ).astype(x1.dtype)
+            cand = jnp.concatenate([Hs, Hs_split], axis=0)  # (3K, 3, 3)
+            cand_ok = jnp.concatenate([active, ok_split], axis=0)
+            r_cand = model_residual_matrix(cand, x1, x2, cfg.residual,
+                                           cfg)
+            cand_idx, active = selection.select_candidates_coverage(
+                r_cand, valid, thr, cand_ok, cand.shape[0], k,
+                min_gain=float(cfg.min_inliers),
+            )
+            Hs = cand[cand_idx]
+            r0s = r_cand[cand_idx]
+            d0s = labeling.data_costs_t(
+                r0s, valid, thr, cfg.outlier_cost, active
+            )
+            q = jax.nn.softmax(-d0s / cfg.temperature_start, axis=0)
+            # iteration indices in the prune-enabled second half so the
+            # label-cost prune runs from the first split iteration
+            (Hs, active, q), en2 = jax.lax.scan(
+                step, (Hs, active, q),
+                jnp.arange(cfg.pearl_iterations,
+                           cfg.pearl_iterations + cfg.f_split_iterations),
+            )
+            energies = jnp.concatenate([energies, en2])
 
     # final hard assignment (same two-start scheme as the loop)
     with jax.named_scope("finalize"):

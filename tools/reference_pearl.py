@@ -25,13 +25,20 @@ import numpy as np
 # stay attributable). Bump on any behavioral change to this file or to
 # native/expansion.cpp.
 ORACLE_VERSION = (
-    "r3.1: float64 NumPy PEARL + native Dinic/BVZ/Delong expansion; "
-    "LO schedule 4t/2t/t, motion-augmented sampling (w=2), claim gating "
-    "min_inliers; 5 progressive sampling rounds. Adds model='fundamental' "
-    "(8-pt SVD minimal/weighted solves, Sampson residuals, "
-    "marginal-coverage selection, Jaccard merge); the homography path is "
-    "bit-identical to r2.1 (pure refactor to model dispatch), so r2.1 "
-    "homography goldens remain valid."
+    "r4.1: float64 NumPy PEARL + native Dinic/BVZ/Delong expansion. "
+    "Homography path bit-identical to r2.1 (its goldens remain valid). "
+    "Fundamental path r4 changes: fixed-tau LO schedule [1,1,1] (A/B: "
+    "suite mean 4.40 vs 4.51 for the r3 narrow-start — wide rounds build "
+    "two-motion bridges), union-refit merge now ENERGY-TESTED (merge iff "
+    "data-cost increase of the joint members under the union F < "
+    "label_cost; coverage alone cannot separate fragments from bridges), "
+    "split-refine second phase (spatial-median member splits + coverage "
+    "re-selection + short beta-on PEARL; suite mean 4.40 -> 3.62, fm4_a "
+    "8.0 -> 3.0 — bridges are stable under member refits, their spatial "
+    "halves are not). "
+    "Adds mixed_fit (plane+motion union label space: sequential H-then-F "
+    "+ joint expansion polish with GRIC-style f_bias, mirroring "
+    "models/mixed.py) for the mx*.npz goldens."
 )
 
 
@@ -54,6 +61,12 @@ class PearlParams:
     sampling_rounds: int = 5
     sampling_motion_weight: float = 2.0
     seed: int = 0
+    lo_schedule: tuple = ()  # squared-threshold multipliers override;
+    # () = the per-model default below (homography: the gradual wide
+    # descent; fundamental: the narrow bridge-avoiding schedule)
+    split_iterations: int = 4  # fundamental only: PEARL iterations of
+    # the split-refine second phase (0 disables; mirrors the pipeline's
+    # config.f_split_refine / f_split_iterations)
 
 
 def _to_h(x):
@@ -172,6 +185,25 @@ def fundamental_8pt(x1, x2, w=None):
     return F / nrm
 
 
+def _morton_codes(pts):
+    """2-D Morton (Z-order) codes of point positions, 16 bits per axis —
+    the same spatial ordering pipeline.morton_order uses; here it defines
+    the split-refine phase's spatial median split."""
+    q = pts - pts.min(axis=0)
+    s = max(float(q.max()), 1e-12)
+    xi = np.minimum((q[:, 0] / s * 65535.0).astype(np.uint64), 65535)
+    yi = np.minimum((q[:, 1] / s * 65535.0).astype(np.uint64), 65535)
+
+    def spread(v):
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    return (spread(xi) << np.uint64(1)) | spread(yi)
+
+
 def knn_graph(pts, k):
     from scipy.spatial import cKDTree
 
@@ -243,11 +275,13 @@ def pearl_fit(x1, x2, p: PearlParams):
         # motion, while WIDE thresholds absorb other motions' points and
         # LO converts pure samples into two-motion 'bridges' (measured
         # on fm4_a: zero pure candidates for 2 of 4 motions survived the
-        # wide schedule). Narrow-start with repeats measured best over the
-        # motion suite (2t start: bridges stay out; repeats at each level:
-        # partial models finish growing — fm_out40-class scenes 25% -> 11%
-        # vs the 4t-start schedule).
-        lo_schedule = [4, 2, 2, 1, 1, 1, 1]
+        # wide schedule). Fixed-tau growth measured best over the motion
+        # suite (r4 A/B: [1,1,1] mean 3.79 vs 4.51 for the r3
+        # [4,2,2,1,1,1,1] narrow-start and 4.46 for [1]*5) — matching the
+        # pipeline's model-resolved lo_shrink_eff (config.py).
+        lo_schedule = [1, 1, 1]
+    if p.lo_schedule:
+        lo_schedule = list(p.lo_schedule)
 
     def lo_grow(H, rounds, base_mask=None):
         """Gradual shrinking-threshold LO, keep-if-better at tau."""
@@ -390,153 +424,355 @@ def pearl_fit(x1, x2, p: PearlParams):
         return np.full(n, 0, np.int32), np.zeros((0, 3, 3)), []
 
     active = list(range(k))
-    # outlier = index k == len(Hs), the same convention the k == 0 early
-    # return above uses (labels all 0 with zero planes => all outliers)
-    labels = np.full(n, k, np.int32)
-    for it in range(p.pearl_iterations):
-        if not active:
-            break
-        # PEARL label-cost schedule: growth phase first (beta=0 lets every
-        # candidate acquire its full support through refits), model
-        # selection in the second half — candidate value must be judged at
-        # full support, or real planes with initially-weak hypotheses get
-        # killed before they can grow (same gating as the TPU pipeline).
-        beta = p.label_cost if it >= p.pearl_iterations // 2 else 0.0
-        # data costs over active labels + outlier
-        r = np.stack([resid(Hs[l], x1, x2) for l in active])
-        d = np.concatenate(
-            [
-                np.minimum(r / thr, 8.0).T * p.outlier_cost,
-                np.full((n, 1), p.outlier_cost),
-            ],
-            axis=1,
-        )
-        h = np.concatenate([np.full(len(active), beta), [0.0]])
-        lab_idx, _ = native.expansion_solve(
-            d, pq, ew, p.spatial_weight, h
-        )
-        labels = np.array(
-            [active[l] if l < len(active) else k for l in lab_idx],
-            np.int32,
-        )
-        # refit on Tukey-weighted members; planes keep their H (and stay in
-        # the label set, as gco does) even when temporarily under-supported
-        # during the growth phase
-        new_active = []
-        for l in active:
-            member = labels == l
-            if it >= p.pearl_iterations // 2 and member.sum() < p.min_inliers:
-                continue
-            if member.sum() >= m_min:
-                rr = resid(Hs[l], x1, x2)
-                w = member * np.maximum(0, 1 - rr / thr) ** 2 * (rr < thr)
-                H = refit_w(x1, x2, w)
-                if H is not None and np.isfinite(H).all():
-                    if ((resid(H, x1, x2) < thr).sum()
-                            >= (rr < thr).sum()):
-                        Hs[l] = H
-            new_active.append(l)
-        # merge duplicates. Homography: by inlier-set containment
-        # (intersection over the smaller set) — fringe fragments mostly
-        # contained in a stronger plane merge away even when union-IoU is
-        # small. Fundamental: symmetric Jaccard (union IoU) — containment
-        # would kill pure motions inside epipolar bridges (the same
-        # model-class calibration as the TPU pipeline's
-        # merge_duplicate_planes).
-        if p.model == "fundamental":
-            def overlap(a, b):
-                return (a & b).sum() / max((a | b).sum(), 1)
-        else:
-            def overlap(a, b):
-                return (a & b).sum() / max(min(a.sum(), b.sum()), 1)
-        merged = []
-        masks = {
-            l: resid(Hs[l], x1, x2) < thr for l in new_active
-        }
-        for l in sorted(new_active, key=lambda l: -masks[l].sum()):
-            dup = any(
-                overlap(masks[l], masks[m]) >= p.merge_iou
-                for m in merged
+    # internal outlier sentinel: a value no model index can ever reach —
+    # the fundamental path may APPEND union-proposal models to Hs during
+    # PEARL (below), so len(Hs) is not stable; the sentinel is remapped
+    # to the final len(Hs) at return (bit-identical labels for the
+    # homography path, whose roster never grows).
+    out_lab = 1 << 20
+    labels = np.full(n, out_lab, np.int32)
+
+    def run_pearl(n_iters, beta_from):
+        """PEARL alternation over the current roster; label-cost beta
+        turns on at iteration beta_from (growth phase first — candidate
+        value must be judged at full support, or real planes with
+        initially-weak hypotheses get killed before they can grow; same
+        gating as the TPU pipeline). Mutates labels/active; Hs rows are
+        updated in place."""
+        nonlocal labels, active
+        for it in range(n_iters):
+            if not active:
+                break
+            beta = p.label_cost if it >= beta_from else 0.0
+            # data costs over active labels + outlier
+            r = np.stack([resid(Hs[l], x1, x2) for l in active])
+            d = np.concatenate(
+                [
+                    np.minimum(r / thr, 8.0).T * p.outlier_cost,
+                    np.full((n, 1), p.outlier_cost),
+                ],
+                axis=1,
             )
-            if not dup:
-                merged.append(l)
-        active = merged
-        labels = np.where(np.isin(labels, active), labels, k)
+            h = np.concatenate([np.full(len(active), beta), [0.0]])
+            lab_idx, _ = native.expansion_solve(
+                d, pq, ew, p.spatial_weight, h
+            )
+            labels = np.array(
+                [active[l] if l < len(active) else out_lab for l in lab_idx],
+                np.int32,
+            )
+            # refit on Tukey-weighted members; planes keep their H (and stay in
+            # the label set, as gco does) even when temporarily under-supported
+            # during the growth phase
+            new_active = []
+            for l in active:
+                member = labels == l
+                if beta > 0 and member.sum() < p.min_inliers:
+                    continue
+                if member.sum() >= m_min:
+                    rr = resid(Hs[l], x1, x2)
+                    w = member * np.maximum(0, 1 - rr / thr) ** 2 * (rr < thr)
+                    H = refit_w(x1, x2, w)
+                    if H is not None and np.isfinite(H).all():
+                        if ((resid(H, x1, x2) < thr).sum()
+                                >= (rr < thr).sum()):
+                            Hs[l] = H
+                new_active.append(l)
+            # merge duplicates. Homography: by inlier-set containment
+            # (intersection over the smaller set) — fringe fragments mostly
+            # contained in a stronger plane merge away even when union-IoU is
+            # small. Fundamental: symmetric Jaccard (union IoU) — containment
+            # would kill pure motions inside epipolar bridges (the same
+            # model-class calibration as the TPU pipeline's
+            # merge_duplicate_planes).
+            if p.model == "fundamental":
+                def overlap(a, b):
+                    return (a & b).sum() / max((a | b).sum(), 1)
+            else:
+                def overlap(a, b):
+                    return (a & b).sum() / max(min(a.sum(), b.sum()), 1)
+            merged = []
+            masks = {
+                l: resid(Hs[l], x1, x2) < thr for l in new_active
+            }
+            for l in sorted(new_active, key=lambda l: -masks[l].sum()):
+                dup = any(
+                    overlap(masks[l], masks[m]) >= p.merge_iou
+                    for m in merged
+                )
+                if not dup:
+                    merged.append(l)
+            active = merged
+            labels = np.where(np.isin(labels, active), labels, out_lab)
 
-        # Fundamental only: UNION-REFIT merge (J-linkage-style criterion).
-        # Two under-grown fragments of one motion share few tau-inliers
-        # (Jaccard can't see them as duplicates) yet a single F refit on
-        # their joint members still covers both — merge exactly then.
-        # Two genuinely distinct motions fail the union fit. Runs on
-        # MEMBERS (current labeling), not tau-masks, so a bridge
-        # hypothesis that lost its second motion's points to a pure model
-        # cannot re-absorb them here.
-        if p.model == "fundamental":
-            changed = True
-            while changed and len(active) > 1:
-                changed = False
-                order = sorted(active, key=lambda l: -(labels == l).sum())
-                for i, la in enumerate(order):
-                    for lb in order[i + 1:]:
-                        ma, mb = labels == la, labels == lb
-                        if ma.sum() < m_min or mb.sum() < m_min:
-                            continue
-                        w = (ma | mb).astype(float)
-                        Hu = refit_w(x1, x2, w)
-                        if Hu is None or not np.isfinite(Hu).all():
-                            continue
-                        ru = resid(Hu, x1, x2) < thr
-                        if (ru[ma].mean() >= 0.8 and ru[mb].mean() >= 0.8):
-                            labels = np.where(mb, la, labels)
-                            active = [l for l in active if l != lb]
-                            Hs[la] = Hu
-                            changed = True
+            # Fundamental only: UNION-REFIT merge, ENERGY-TESTED
+            # (J-linkage-style consolidation judged by the PEARL objective
+            # itself). Two under-grown fragments of one motion share few
+            # tau-inliers (Jaccard can't see them as duplicates) yet a single
+            # F refit on their joint members still covers both. But a fitted
+            # 'bridge' F can ALSO cover >= 0.8 of two DISTINCT motions inside
+            # tau (measured on mx03_a: 0.96/0.95 coverage); no residual-
+            # quality threshold separates the cases, and a roster PROPOSAL
+            # doesn't either (a union F never wins members pointwise — each
+            # fragment is LSQ-optimal on its own members; traced on fm4_a).
+            # The energy does: merging removes one label (-label_cost) and
+            # raises the joint members' data cost by Delta = sum over members
+            # of (cost under union F - cost under own F). Measured: fm4_a
+            # true-fragment pair Delta ~ 9.6 < beta 20 (merge), mx03_a
+            # bridge Delta ~ 34 > 20 (reject). Runs on MEMBERS, not
+            # tau-masks, so a bridge hypothesis that lost its second motion's
+            # points to a pure model cannot re-absorb them here. Mirrors
+            # pipeline._pearl_iteration's union_refit_merge.
+            if p.model == "fundamental":
+                changed = True
+                while changed and len(active) > 1:
+                    changed = False
+                    order = sorted(active, key=lambda l: -(labels == l).sum())
+                    for i, la in enumerate(order):
+                        for lb in order[i + 1:]:
+                            ma, mb = labels == la, labels == lb
+                            if ma.sum() < m_min or mb.sum() < m_min:
+                                continue
+                            Hu = refit_w(x1, x2, (ma | mb).astype(float))
+                            if Hu is None or not np.isfinite(Hu).all():
+                                continue
+                            r_un = resid(Hu, x1, x2)
+                            ru = r_un < thr
+                            if ru[ma].mean() < 0.8 or ru[mb].mean() < 0.8:
+                                continue
+                            d_un = np.minimum(r_un / thr, 8.0) * p.outlier_cost
+                            d_a = np.minimum(
+                                resid(Hs[la], x1, x2) / thr, 8.0
+                            ) * p.outlier_cost
+                            d_b = np.minimum(
+                                resid(Hs[lb], x1, x2) / thr, 8.0
+                            ) * p.outlier_cost
+                            delta = ((d_un - d_a)[ma].sum()
+                                     + (d_un - d_b)[mb].sum())
+                            if delta < p.label_cost:
+                                labels = np.where(mb, la, labels)
+                                active = [l for l in active if l != lb]
+                                Hs[la] = Hu
+                                changed = True
+                                break
+                        if changed:
                             break
-                    if changed:
+
+            # Explicit label-cost pruning by COLLECTIVE energy gain
+            # (fundamental only; mirrors the TPU pipeline's multi-round
+            # prune). Expansion's per-move label-cost handling can only empty
+            # a label when ONE alpha absorbs all its members in a single
+            # move; a junk motion whose members' second-best labels differ
+            # survives every individual move even when removing it outright
+            # is profitable. Here: remove the label whose members' total
+            # switch-to-best-alternative data cost is less than beta, up to 8
+            # per iteration, reassigning members by data-cost argmin (the
+            # next expansion re-optimizes smoothness; on the final iteration
+            # the argmin assignment is the exact greedy).
+            if p.model == "fundamental" and beta > 0:
+                for _ in range(8):
+                    if len(active) <= 1:
                         break
+                    rmap = {l: resid(Hs[l], x1, x2) for l in active}
+                    dmap = {
+                        l: np.minimum(rmap[l] / thr, 8.0) * p.outlier_cost
+                        for l in active
+                    }
+                    best_gain, best_l, best_alt = 0.0, None, None
+                    for l in active:
+                        member = labels == l
+                        others = [m for m in active if m != l]
+                        alt_stack = np.stack(
+                            [dmap[m] for m in others]
+                            + [np.full(n, p.outlier_cost)]
+                        )
+                        alt_idx = np.argmin(alt_stack, axis=0)
+                        alt_cost = alt_stack[alt_idx, np.arange(n)]
+                        switch = (alt_cost - dmap[l])[member].sum()
+                        gain = beta - switch
+                        if gain > best_gain:
+                            alt_lab = np.array(
+                                others + [out_lab]
+                            )[alt_idx]
+                            best_gain, best_l, best_alt = gain, l, alt_lab
+                    if best_l is None:
+                        break
+                    member = labels == best_l
+                    labels = np.where(member, best_alt, labels)
+                    active = [l for l in active if l != best_l]
 
-        # Explicit label-cost pruning by COLLECTIVE energy gain
-        # (fundamental only; mirrors the TPU pipeline's multi-round
-        # prune). Expansion's per-move label-cost handling can only empty
-        # a label when ONE alpha absorbs all its members in a single
-        # move; a junk motion whose members' second-best labels differ
-        # survives every individual move even when removing it outright
-        # is profitable. Here: remove the label whose members' total
-        # switch-to-best-alternative data cost is less than beta, up to 8
-        # per iteration, reassigning members by data-cost argmin (the
-        # next expansion re-optimizes smoothness; on the final iteration
-        # the argmin assignment is the exact greedy).
-        if p.model == "fundamental" and beta > 0:
-            for _ in range(8):
-                if len(active) <= 1:
-                    break
-                rmap = {l: resid(Hs[l], x1, x2) for l in active}
-                dmap = {
-                    l: np.minimum(rmap[l] / thr, 8.0) * p.outlier_cost
-                    for l in active
-                }
-                best_gain, best_l, best_alt = 0.0, None, None
-                for l in active:
-                    member = labels == l
-                    others = [m for m in active if m != l]
-                    alt_stack = np.stack(
-                        [dmap[m] for m in others]
-                        + [np.full(n, p.outlier_cost)]
-                    )
-                    alt_idx = np.argmin(alt_stack, axis=0)
-                    alt_cost = alt_stack[alt_idx, np.arange(n)]
-                    switch = (alt_cost - dmap[l])[member].sum()
-                    gain = beta - switch
-                    if gain > best_gain:
-                        alt_lab = np.array(others + [k])[alt_idx]
-                        best_gain, best_l, best_alt = gain, l, alt_lab
-                if best_l is None:
-                    break
-                member = labels == best_l
-                labels = np.where(member, best_alt, labels)
-                active = [l for l in active if l != best_l]
+    run_pearl(p.pearl_iterations, p.pearl_iterations // 2)
 
+    if p.model == "fundamental" and p.split_iterations > 0 and active:
+        # Split-refine phase (mirrors pipeline.fit's split_refine /
+        # config.f_split_refine): PEARL has no split move, and an
+        # epipolar 'bridge' F covering two motions is STABLE under member
+        # refits — its member set stays mixed, so the weighted LSQ stays
+        # a bridge. Its spatial halves, however, are (nearly) pure
+        # motions: split every active model's member set at the spatial
+        # (Morton) median, refit an F on each half, re-select the roster
+        # coverage-greedily from {survivors + halves}, and run a short
+        # second PEARL phase with the label cost on from the start. Pure
+        # halves win members pointwise on data cost; the bridge starves
+        # and dies to the label-cost prune.
+        morton_rank = np.argsort(np.argsort(_morton_codes(x1)))
+        new_models = []
+        for l in list(active):
+            member_idx = np.where(labels == l)[0]
+            if member_idx.size < 2 * m_min:
+                continue
+            mr = member_idx[np.argsort(morton_rank[member_idx])]
+            rr = resid(Hs[l], x1, x2)
+            tk = np.maximum(0, 1 - rr / thr) ** 2 * (rr < thr)
+            for half in (mr[: mr.size // 2], mr[mr.size // 2:]):
+                w = np.zeros(n)
+                w[half] = tk[half]
+                if (w > 0).sum() < m_min:
+                    continue
+                Hn = refit_w(x1, x2, w)
+                if Hn is not None and np.isfinite(Hn).all():
+                    new_models.append(Hn)
+        if new_models:
+            base = len(Hs)
+            Hs = np.concatenate([Hs, np.stack(new_models)], axis=0)
+            cand = list(active) + list(range(base, len(Hs)))
+            masks_c = {i: resid(Hs[i], x1, x2) < thr for i in cand}
+            covered = np.zeros(n, bool)
+            picked = []
+            while len(picked) < p.max_labels:
+                gains = [
+                    (-1 if i in picked
+                     else int((masks_c[i] & ~covered).sum()), i)
+                    for i in cand
+                ]
+                g, i = max(gains)
+                if g < 4:
+                    break
+                picked.append(i)
+                covered |= masks_c[i]
+            active = picked
+            run_pearl(p.split_iterations, 0)
+
+    # remap the internal outlier sentinel to the conventional len(Hs)
+    # (identical to the historical labels for the homography path, whose
+    # roster never grows during PEARL)
+    labels = np.where(labels == out_lab, len(Hs), labels).astype(np.int32)
     return labels, Hs, active
+
+
+def mixed_fit(x1, x2, p_h: PearlParams, p_f: PearlParams,
+              f_bias: float = 0.35, prune_rounds: int = 4):
+    """Mixed plane + motion oracle (models/mixed.py's float64 stand-in;
+    VERDICT r3 task 4: the mixed fit gets the same golden-anchored
+    evidence standard as both single-class paths).
+
+    Mirrors the TPU fit's structure exactly:
+      1. sequential decomposition, specific model first — planes fit on
+         all points, fundamentals only on what the planes left;
+      2. joint polish over the union label space: data costs in per-class
+         threshold units, a GRIC-style f_bias penalty on the codim-1
+         labels, alpha-expansion with label costs in place of the TPU's
+         mean-field+ICM, and the same greedy one-removal label-cost prune
+         (collective switch-cost gain) between reassignments.
+
+    Returns (labels, models (K,3,3), is_f (K,), n_active) with outlier
+    label == len(models) (the union-roster convention of MixedFitResult).
+    """
+    from multih_tpu import native
+
+    assert p_h.model == "homography" and p_f.model == "fundamental"
+    n = x1.shape[0]
+    thr_h = p_h.inlier_threshold ** 2
+    thr_f = p_f.inlier_threshold ** 2
+
+    labels_h, Hs_h, act_h = pearl_fit(x1, x2, p_h)
+    explained = labels_h != len(Hs_h)
+    rem = np.where(~explained)[0]
+    f_all = bool(int(__import__("os").environ.get("MIXED_F_ALL", "0")))
+    if f_all:
+        _, Fs_f, act_f = pearl_fit(x1, x2, p_f)
+    elif rem.size >= max(3 * p_f.min_inliers, 24):
+        lab_f_sub, Fs_f, act_f = pearl_fit(x1[rem], x2[rem], p_f)
+    else:
+        Fs_f, act_f = np.zeros((0, 3, 3)), []
+
+    models = [Hs_h[l] for l in act_h] + [Fs_f[l] for l in act_f]
+    is_f = np.array(
+        [0.0] * len(act_h) + [1.0] * len(act_f), dtype=np.float64
+    )
+    k = len(models)
+    if k == 0:
+        return np.zeros(n, np.int32), np.zeros((0, 3, 3)), is_f, 0
+
+    _, pq, ew = knn_graph(x1, p_h.knn_k)
+    bias = f_bias * p_h.outlier_cost
+
+    def union_costs(active_mask):
+        # per-class threshold units — the only scale on which a 2-D
+        # transfer distance and a 1-D epipolar distance are comparable
+        cols = []
+        for j, M in enumerate(models):
+            if not active_mask[j]:
+                cols.append(np.full(n, 1e6))
+                continue
+            if is_f[j]:
+                r = f_sampson_sq(M, x1, x2) / thr_f
+                cols.append(
+                    np.minimum(r, 8.0) * p_h.outlier_cost + bias
+                )
+            else:
+                r = symmetric_error_sq(M, x1, x2) / thr_h
+                cols.append(np.minimum(r, 8.0) * p_h.outlier_cost)
+        cols.append(np.full(n, p_h.outlier_cost))
+        return np.stack(cols, axis=1)  # (N, K+1)
+
+    active = np.ones(k, bool)
+    h_costs = np.concatenate([np.full(k, p_h.label_cost), [0.0]])
+    d = union_costs(active)
+    labels, _ = native.expansion_solve(d, pq, ew, p_h.spatial_weight,
+                                       h_costs)
+    labels = labels.astype(np.int32)
+
+    # joint label-cost prune over the union space (same collective-gain
+    # rule as the TPU polish and the fundamental path's prune): a
+    # near-planar slice of a motion blob dies here because its members
+    # switch to the blob's F almost for free, while a true plane's
+    # members have no cheap alternative.
+    for _ in range(prune_rounds):
+        if active.sum() <= 0:
+            break
+        d = union_costs(active)
+        best_gain, best_j = 0.0, None
+        for j in range(k):
+            if not active[j]:
+                continue
+            member = labels == j
+            if not member.any():
+                best_gain, best_j = p_h.label_cost, j
+                break
+            alt = d.copy()
+            alt[:, j] = np.inf
+            switch = (alt.min(axis=1) - d[np.arange(n), labels])[member]
+            gain = p_h.label_cost - switch.sum()
+            if gain > best_gain:
+                best_gain, best_j = gain, j
+        if best_j is None:
+            break
+        active[best_j] = False
+        d = union_costs(active)
+        labels, _ = native.expansion_solve(
+            d, pq, ew, p_h.spatial_weight, h_costs
+        )
+        labels = labels.astype(np.int32)
+
+    # per-class min-support prune + outlier fold-in (mirrors the TPU
+    # bookkeeping)
+    support = np.array([(labels == j).sum() for j in range(k)])
+    min_sup = np.where(is_f > 0, p_f.min_inliers, p_h.min_inliers)
+    active &= support >= min_sup
+    labels = np.where(active[np.clip(labels, 0, k - 1)] & (labels < k),
+                      labels, k).astype(np.int32)
+    return labels, np.stack(models), is_f, int(active.sum())
 
 
 def misclassification_vs_gt(labels, gt, outlier_label):
