@@ -301,6 +301,93 @@ def bench_stress(iters=3):
     return times[len(times) // 2], device_ms, planes
 
 
+def bench_stress_throughput(n_fits=12, n_buffers=3):
+    """Sustained stress-class throughput (VERDICT r3 task 6): independent
+    stress fits PIPELINED the way the streaming path pipelines frames —
+    every fit's inputs are device_put asynchronously (fresh buffers per
+    fit, cycling n_buffers host scenes: the deployment shape, upload
+    included) and all fits are dispatched without blocking between them,
+    so XLA queues them back-to-back on the device and the ~28 ms
+    dispatch/tunnel RTT of a blocked call amortizes across the batch
+    instead of serializing it (bench_stress measures exactly that
+    serialized shape; docs/PERF.md 'A note on timing').
+
+    Returns (sustained fits/s, effective ms/fit)."""
+    import jax
+    import jax.numpy as jnp
+
+    import multih_tpu
+    from multih_tpu.utils import data
+
+    cfg = _stress_cfg(10240, 102400, n_candidates=256, max_labels=16)
+    scenes = []
+    for s in range(n_buffers):
+        cs, _ = data.synthetic_scene(10000, 8, 0.7, 0.5, seed=42 + s)
+        scenes.append(multih_tpu.pad_points(
+            cs.x1, cs.x2, None, cfg.max_points
+        ))
+    f = multih_tpu.make_fit(cfg)
+    h0 = jax.device_put(scenes[0])
+    jax.block_until_ready(f(*h0, jax.random.key(0)))  # compile
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_fits):
+        # async upload + async dispatch: fit i's upload overlaps fit
+        # i-1's device execution, same double-buffering the streaming
+        # path uses (utils/streaming.py)
+        bufs = jax.device_put(scenes[i % n_buffers])
+        outs.append(f(*bufs, jax.random.key(i + 1)).labels)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return n_fits / dt, dt / n_fits * 1e3
+
+
+def bench_mixed(iters=3):
+    """Mixed multi-class fitting (models/mixed.py): planes AND motions in
+    one union label space on a suite-calibrated mixed scene (mx22_a:
+    700 pts, 2 planes + 2 motions, 10% outliers). Returns (median blocked
+    seconds, models recovered, of which fundamental, misclassification %
+    vs GT)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import multih_tpu
+    from multih_tpu.models import mixed
+    from multih_tpu.utils import data, evaluation
+
+    cfg_h = multih_tpu.MultiHConfig(
+        max_points=1024, n_hypotheses=2048, max_labels=8,
+    )
+    cfg_f = multih_tpu.MultiHConfig(
+        max_points=1024, n_hypotheses=2048, max_labels=8,
+        model="fundamental", residual="sampson",
+    )
+    cs, _, _ = data.synthetic_mixed_scene(700, 2, 2, 0.1, 0.5, seed=303)
+    x1, x2, valid, gt = multih_tpu.pad_points(
+        cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+    )
+    x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+    f = mixed.make_fit_mixed(cfg_h, cfg_f)
+    res = f(x1, x2, valid, jax.random.key(0))
+    jax.block_until_ready(res.labels)
+    act = np.asarray(res.active)
+    is_f = np.asarray(res.is_f)
+    err = evaluation.misclassification_error(
+        np.asarray(res.labels), gt, cfg_h.max_labels + cfg_f.max_labels
+    )
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            f(x1, x2, valid, jax.random.key(i + 1)).labels
+        )
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return (times[len(times) // 2], int(act.sum()),
+            int(act[is_f > 0].sum()), err)
+
+
 def bench_motion(iters=3):
     """Multi-model extension: motion segmentation (model='fundamental')
     through the same pipeline — the other half of the AdelaideRMF
@@ -370,7 +457,9 @@ def main():
     pair_s = bench_pair_latency()
     stream, stream_pre = bench_stream()
     stress_s, stress_dev_ms, stress_planes = bench_stress()
+    sustained_fps, sustained_ms = bench_stress_throughput()
     motion_s, motion_dev_ms, motions, motion_err = bench_motion()
+    mixed_s, mixed_models, mixed_f, mixed_err = bench_mixed()
     hyp_per_s, hv_sweep_s = bench_hypothesis_throughput()
     gpairs, vpu_pct, verify_s = bench_verification_kernel()
     target = 50_000.0  # BASELINE.json:5
@@ -403,6 +492,12 @@ def main():
                         if stress_dev_ms is not None else None
                     ),
                     "stress_planes_recovered": stress_planes,
+                    # pipelined independent stress fits (async dispatch +
+                    # async per-fit uploads): sustained deployment
+                    # throughput, vs 1000/stress_fit_ms for the blocked
+                    # one-at-a-time shape (VERDICT r3 task 6)
+                    "stress_sustained_fits_per_s": round(sustained_fps, 2),
+                    "stress_sustained_ms_per_fit": round(sustained_ms, 1),
                     # multi-model extension: motion segmentation
                     # (model='fundamental') — suite scene fm4_b (600 pts,
                     # 4 motions, 15% outliers), 8,192 hypotheses; same
@@ -414,6 +509,13 @@ def main():
                     ),
                     "motions_recovered": motions,
                     "motion_miscls_pct": round(motion_err, 2),
+                    # mixed multi-class fitting (models/mixed.py): planes
+                    # + motions in one union label space, suite scene
+                    # mx22_a (700 pts, 2 planes + 2 motions)
+                    "mixed_fit_ms": round(mixed_s * 1e3, 1),
+                    "mixed_models_recovered": mixed_models,
+                    "mixed_fundamental_recovered": mixed_f,
+                    "mixed_miscls_pct": round(mixed_err, 2),
                     "stress_hypothesize_verify_s": round(hv_sweep_s, 4),
                     "stress_verify_sweep_s": round(verify_s, 4),
                     "verify_gpairs_per_s": round(gpairs, 2),

@@ -45,6 +45,71 @@ def make_mesh(devices=None, pair_axis: int | None = None) -> Mesh:
     return Mesh(dev, axis_names=("pair", "hyp"))
 
 
+def make_pt_mesh(devices=None) -> Mesh:
+    """1-D mesh over the point (correspondence) axis — SURVEY.md §5
+    'long-context' second scaling axis: at N >> 10k the k-NN graph, the
+    banded agreement operator, and the PEARL sweeps outgrow one chip;
+    this mesh shards them over Morton blocks (VERDICT r3 task 3)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=("pt",))
+
+
+def pt_sharded_fit(cfg: MultiHConfig, mesh: Mesh):
+    """The full single-pair fit with the POINT axis sharded over the
+    mesh's 'pt' axis (SURVEY.md §2 P2/P3, the N-scaling counterpart of
+    hyp_sharded_fit).
+
+    Decomposition: points are Morton-sorted and the banded agreement
+    operator is block-tridiagonal over Morton blocks, so sharding N in
+    contiguous block runs gives each device its own run of blocks; the
+    only cross-device dependency of a PEARL sweep is the one-block halo
+    (the roll of the (nb, B, 3B) band window), which GSPMD lowers to a
+    collective-permute. The windowed k-NN build shards the same way; the
+    residual sweeps are pointwise in N; refit moments / inlier counts /
+    energies reduce over N via all-reduce. The annotation points live in
+    pipeline.fit (`_pt_constrain`); this factory jits with the inputs
+    placed on the mesh so each device receives only its point slice.
+
+    Requirements (asserted): the windowed-banded gate must hold — i.e.
+    cfg.spatial_sort, cfg.agree_block > 0, N a multiple of agree_block *
+    mesh 'pt' size — so every block and its halo are well-defined.
+
+    Parity: the math is identical to the single-device fit; reductions
+    over N (refit moments, counts, energies) become per-shard partials +
+    all-reduce, whose float32 reassociation can differ from the
+    single-device sum order in the last ulp. The parity tests therefore
+    assert label-level equality (same segmentation), not bitwise floats
+    (tests/test_sharding.py) — unlike the hyp axis, whose merges are
+    exact by construction.
+
+    Returns jitted f(x1, x2, valid, key) -> FitResult.
+    """
+    cache_key = ("pt_fit", cfg, mesh)
+    hit = _SHARDED_FIT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    npt = mesh.shape["pt"]
+    n = cfg.max_points
+    assert cfg.spatial_sort and cfg.agree_block > 0, (
+        "pt sharding needs the banded gate: spatial_sort + agree_block"
+    )
+    assert n % (cfg.agree_block * npt) == 0 and n >= 2 * cfg.agree_block, (
+        f"max_points={n} must be a multiple of agree_block*npt="
+        f"{cfg.agree_block}*{npt}"
+    )
+    pt2 = NamedSharding(mesh, P("pt", None))
+    pt1 = NamedSharding(mesh, P("pt"))
+    rep = NamedSharding(mesh, P())
+    f = jax.jit(
+        lambda x1, x2, valid, key: pipeline.fit(
+            x1, x2, valid, key, cfg, mesh=mesh
+        ),
+        in_shardings=(pt2, pt2, pt1, rep),
+    )
+    _SHARDED_FIT_CACHE[cache_key] = f
+    return f
+
+
 def batched_fit(cfg: MultiHConfig, adaptive: bool = False,
                 probe_tau: float = 8.0, mesh: Mesh | None = None):
     """vmapped fit over a batch of padded pairs: the P4 'run the CLI 19
@@ -139,7 +204,8 @@ def hyp_sharded_fit(cfg: MultiHConfig, mesh: Mesh):
     return f
 
 
-def sharded_verification(cfg: MultiHConfig, mesh: Mesh):
+def sharded_verification(cfg: MultiHConfig, mesh: Mesh,
+                         replication_check: bool = False):
     """P3's intra-pair axis: the hypothesis pool sharded over the mesh's
     'hyp' axis via shard_map. Each device verifies its own hypothesis
     shard against the (replicated) points — counts need no collective;
@@ -168,15 +234,20 @@ def sharded_verification(cfg: MultiHConfig, mesh: Mesh):
         c_all = jax.lax.all_gather(c_loc, "hyp").reshape(-1)
         i_all = jax.lax.all_gather(gidx, "hyp").reshape(-1)
         c_top, pos = jax.lax.top_k(c_all, m)
-        return c_top, i_all[pos]
+        out = c_top, i_all[pos]
+        if replication_check:
+            return out + (pipeline.replicated_ok(out, "hyp"),)
+        return out
 
+    n_out = 3 if replication_check else 2
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P("hyp"), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(),) * n_out,
         # outputs ARE replicated (all_gather + identical final top_k on
-        # every shard) but the static checker cannot infer it
+        # every shard) but the static checker cannot infer it; the
+        # sharding tests verify it at runtime via replication_check=True
         check_vma=False,
     )
     return jax.jit(fn)

@@ -141,6 +141,18 @@ class TestHypothesisSharding:
             np.asarray(ref_counts)[np.asarray(i_top)], np.asarray(ref_c)
         )
 
+        # runtime replication guard (VERDICT r3 task 7): the region is
+        # compiled with check_vma=False, so assert at RUNTIME that every
+        # shard computed the identical outputs (all_gather + exact
+        # equality inside the region itself)
+        fg = sharding.sharded_verification(
+            tiny_cfg, mesh, replication_check=True
+        )
+        with mesh:
+            c2, i2, repl_ok = fg(Hs, x1, x2, valid)
+        assert float(repl_ok) == 1.0
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(c_top))
+
 
 class TestHypShardedFullFit:
     @pytest.mark.parametrize("verify_subsample", [1, 4])
@@ -186,6 +198,31 @@ class TestHypShardedFullFit:
             tiny_cfg.max_labels,
         )
         assert err < 5.0, err
+
+    def test_hypothesize_verify_replication_guard(self, tiny_cfg, pairs):
+        """Runtime replication guard for the check_vma=False shard_map
+        region inside the fit (pipeline._hypothesize_verify_sharded): the
+        region itself all_gathers its outputs and asserts exact equality
+        across shards (VERDICT r3 task 7)."""
+        import jax.numpy as jnp
+        from multih_tpu.models import labeling, pipeline
+
+        mesh = sharding.make_mesh(jax.devices()[:8], pair_axis=1)
+        cs = pairs[1]
+        x1, x2, valid = multih_tpu.pad_points(
+            cs.x1, cs.x2, None, tiny_cfg.max_points
+        )
+        x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+        nbr_idx, _ = labeling.knn_graph(x1, valid, tiny_cfg.knn_k)
+        c, h, n_ok, repl_ok = jax.jit(
+            lambda key, x1, x2, valid, nbr:
+            pipeline._hypothesize_verify_sharded(
+                key, x1, x2, valid, nbr, tiny_cfg, None, mesh,
+                replication_check=True,
+            )
+        )(jax.random.key(7), x1, x2, valid, nbr_idx)
+        assert float(repl_ok) == 1.0
+        assert c.shape == (tiny_cfg.n_candidates,)
 
     def test_full_fit_hyp_sharded_parity_fundamental(self):
         """The multi-model extension under the hyp mesh: the fundamental-
@@ -296,3 +333,53 @@ class TestWindowSampledSharding:
             cfg.max_labels,
         )
         assert err < 5.0, err
+
+
+class TestPointSharding:
+    @pytest.mark.slow
+    def test_pt_sharded_fit_parity(self):
+        """The point (N) axis sharded over an 8-device 'pt' mesh
+        (VERDICT r3 task 3; SURVEY.md §5 long-context second axis): the
+        GSPMD-partitioned fit — band blocks per device, one-block halo
+        exchange per sweep, all-reduced moment refits — must reproduce
+        the single-device segmentation. Labels are asserted EXACTLY;
+        energies only to float tolerance (reductions over N reassociate
+        across shards — see sharding.pt_sharded_fit's docstring)."""
+        import jax.numpy as jnp
+
+        cfg = multih_tpu.MultiHConfig(
+            max_points=2048, n_hypotheses=1024, n_candidates=64,
+            max_labels=8,
+        )
+        cs, _ = data.synthetic_scene(1900, 3, 0.1, 0.5, seed=5)
+        x1, x2, valid, _gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+        )
+        mesh = sharding.make_pt_mesh(jax.devices()[:8])
+        key = jax.random.key(0)
+        res_pt = sharding.pt_sharded_fit(cfg, mesh)(x1, x2, valid, key)
+        res_1 = multih_tpu.make_fit(cfg)(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid), key
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_pt.labels), np.asarray(res_1.labels)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_pt.active), np.asarray(res_1.active)
+        )
+        np.testing.assert_allclose(
+            float(res_pt.energy), float(res_1.energy), rtol=1e-3
+        )
+        err = evaluation.misclassification_error(
+            np.asarray(res_pt.labels)[: cs.n_points], cs.gt_labels,
+            cfg.max_labels,
+        )
+        assert err < 2.0, err
+
+    def test_pt_mesh_gate_asserted(self):
+        """pt_sharded_fit refuses configs that break the banded/windowed
+        block decomposition (N not a multiple of agree_block * n_dev)."""
+        cfg = multih_tpu.MultiHConfig(max_points=512, n_hypotheses=256)
+        mesh = sharding.make_pt_mesh(jax.devices()[:8])
+        with pytest.raises(AssertionError):
+            sharding.pt_sharded_fit(cfg, mesh)  # 512 < 256*8
