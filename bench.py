@@ -51,6 +51,19 @@ def _stress_cfg(n_points, n_hyp, **kw):
     kw.setdefault("pearl_iterations", 5)
     kw.setdefault("window_sampling", True)
     kw.setdefault("rank_residual", "transfer")
+    # Round-4 PEARL schedule/shape A/B (same 3-scene-seed methodology as
+    # every knob above; the named fused-front idea measured a wash — see
+    # config.mrf_fused_front): agree_block 256->128 halves the banded
+    # adjacency bytes every mean-field/ICM sweep streams (the operator is
+    # band-bandwidth-bound) and shrinks the windowed k-NN build
+    # (10.0 -> 8.97 ms device); meanfield_iterations 6->4 (-> 8.63) and
+    # icm_iterations 2->1 (-> 8.19) trim converged sweeps the energy
+    # trace shows are no-ops at this scale. Accuracy: planes 8/8 and
+    # miscls {1.77, 1.81, 2.01}% vs baseline {1.80, 1.79, 1.98}% on
+    # seeds 7/13/99 — within per-key noise at every step.
+    kw.setdefault("agree_block", 128)
+    kw.setdefault("meanfield_iterations", 4)
+    kw.setdefault("icm_iterations", 1)
     return multih_tpu.MultiHConfig(
         max_points=n_points, n_hypotheses=n_hyp, residual_chunk=4096,
         progressive_rounds=2, claims_per_round=8, verify_subsample=8,

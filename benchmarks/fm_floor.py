@@ -149,7 +149,104 @@ def potts_floor(cs, r, tau):
     )
 
 
+def bridgeability(x1, x2, gt, motion_ids, tau=3.0):
+    """Epipolar distinguishability screen: max over motion pairs of the
+    fraction of the PAIR's points within tau under ONE Tukey-IRLS F fit
+    on the union. Near 1.0 means a single 'bridge' F explains both
+    motions to sub-threshold accuracy — the 2-motion truth then has
+    HIGHER PEARL energy than the bridge (label cost saved, data cost
+    barely up) and any correct optimizer legitimately returns the
+    bridge. Suite scenes are screened to <= 0.6 (benchmarks/suite.py
+    MIXED_SUITE note; the original mx03_a measured 0.96 and both the
+    oracle and the TPU fit bridged it on a key-dependent subset of
+    runs). Returns (worst_fraction, worst_pair)."""
+    x1, x2 = x1.astype(np.float64), x2.astype(np.float64)
+    worst, worst_pair = 0.0, None
+    for i, a in enumerate(motion_ids):
+        for b in motion_ids[i + 1:]:
+            m = (gt == a) | (gt == b)
+            if m.sum() < 16:
+                continue
+            w = m.astype(np.float64)
+            F = None
+            for _ in range(5):
+                Fw = fit_f_gt_w(x1, x2, w)
+                if Fw is None:
+                    break
+                F = Fw
+                r = sampson_sq(F, x1, x2)
+                w = (
+                    m * np.maximum(0, 1 - r / tau ** 2) ** 2
+                    * (r < tau ** 2)
+                )
+                if (w > 0).sum() < 8:
+                    break
+            if F is None:
+                continue
+            r = sampson_sq(F, x1, x2)
+            frac = float(np.mean(r[m] < tau ** 2))
+            if frac > worst:
+                worst, worst_pair = frac, (int(a), int(b))
+    return worst, worst_pair
+
+
+def fit_f_gt_w(x1, x2, w):
+    """Weighted variant of fit_f_gt (weights fold into the design rows)."""
+    sel = w > 0
+    if sel.sum() < 8:
+        return None
+    sw = np.sqrt(w[sel])[:, None]
+    p1, p2 = x1[sel], x2[sel]
+
+    def norm(p):
+        c = p.mean(0)
+        s = np.sqrt(2.0) / max(np.sqrt(((p - c) ** 2).sum(1).mean()),
+                               1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return (p - c) * s, T
+
+    q1, T1 = norm(p1)
+    q2, T2 = norm(p2)
+    x, y = q1[:, 0], q1[:, 1]
+    u, v = q2[:, 0], q2[:, 1]
+    A = np.stack([u * x, u * y, u, v * x, v * y, v, x, y,
+                  np.ones_like(x)], axis=1) * sw
+    _, _, vt = np.linalg.svd(A, full_matrices=False)
+    F = vt[-1].reshape(3, 3)
+    uF, sF, vtF = np.linalg.svd(F)
+    F = uF @ np.diag([sF[0], sF[1], 0.0]) @ vtF
+    F = T2.T @ F @ T1
+    n = np.linalg.norm(F)
+    return F / n if np.isfinite(n) and n > 0 else None
+
+
+def bridgeability_rows():
+    rows = []
+    for (name, n, motions, outl, noise, seed), (cs, _) in zip(
+        suite.MOTION_SUITE, suite.motion_scenes()
+    ):
+        ids = list(range(1, motions + 1))
+        w, p = bridgeability(cs.x1, cs.x2, cs.gt_labels, ids,
+                             suite.tau_for_noise(noise))
+        rows.append({"scene": name, "bridgeability": round(w, 3),
+                     "pair": p})
+    for (cs, _, _), row in zip(suite.mixed_scenes(), suite.MIXED_SUITE):
+        n_pl, n_mo = row[2], row[3]
+        if n_mo < 2:
+            continue
+        ids = [n_pl + 1 + j for j in range(n_mo)]
+        w, p = bridgeability(cs.x1, cs.x2, cs.gt_labels, ids,
+                             suite.tau_for_noise(row[5]))
+        rows.append({"scene": cs.name, "bridgeability": round(w, 3),
+                     "pair": p})
+    return rows
+
+
 if __name__ == "__main__":
+    if "--bridgeability" in sys.argv:
+        for row in bridgeability_rows():
+            print(json.dumps(row))
+        sys.exit(0)
     rows = floor_rows()
     for row in rows:
         print(json.dumps(row))

@@ -231,8 +231,9 @@ def main():
         cfg.nms_iou))(Hs_top)
     Hs_k = Hs_top[ci]
     r0 = geometry.residual_matrix(Hs_k, x1, x2, cfg.residual)
-    d0 = labeling.data_costs(r0, valid, thr, cfg.outlier_cost, ca)
-    q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=1)
+    # label-major (L, N) carry, matching fit()'s PEARL loop
+    d0 = labeling.data_costs_t(r0, valid, thr, cfg.outlier_cost, ca)
+    q0 = jax.nn.softmax(-d0 / cfg.temperature_start, axis=0)
 
     scan_time("pearl_iteration", lambda c: pipeline._pearl_iteration(
         c, 3, x1, x2, valid, nbr_idx, nbr_w, cfg, None, adj)[0],
@@ -243,11 +244,11 @@ def main():
 
     def finalize_step(q):
         r = geometry.residual_matrix(Hs_k, x1, x2, cfg.residual)
-        dcost = labeling.data_costs(r, valid, thr, cfg.outlier_cost, ca)
-        labels = labeling.best_labeling(
-            [jnp.argmax(q, axis=1), jnp.argmin(dcost, axis=1)],
-            dcost, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
-            adj=adj,
+        dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, ca)
+        labels = labeling.best_labeling_t(
+            [jnp.argmax(q, axis=0), jnp.argmin(dct, axis=0)],
+            dct, nbr_idx, nbr_w, cfg.spatial_weight, cfg.icm_iterations,
+            adj=adj, use_kernel=pipeline._pallas_enabled(cfg),
         )
         return q + fb * labels.sum().astype(q.dtype)
     scan_time("finalize", finalize_step, q0)

@@ -109,13 +109,25 @@ def motion_scenes():
 # names as hard: H-in-F containment (planes + motions together), the
 # pure-motion edge (no planes at all — the r3 crux regime), and the
 # pure-plane edge (no motions; F stage must come up empty).
+# Scenes are SCREENED for epipolar distinguishability (bridgeability
+# <= 0.6, benchmarks/fm_floor.py --bridgeability): two rigid motions
+# whose point sets are >~80% covered by ONE fitted F are unresolvable
+# by epipolar residuals — the 'bridge' then has lower PEARL energy than
+# the 2-motion truth (label cost saved, data cost barely up), so ANY
+# correct optimizer returns it and the golden becomes a lottery ticket.
+# Measured on the original mx03_a (seed 304): motions 2+3 were 96%
+# covered by one joint F (median Sampson 0.44/1.12 px), and both the
+# float64 oracle and the TPU fit bridged them on a key-dependent subset
+# of runs. Original seeds 302/313/304 screened at 0.84/0.87/0.96; the
+# replacements below are 0.42/0.59/0.51, inside the fm suite's de-facto
+# range (0.29-0.81).
 # name, n_points, n_planes, n_motions, outlier_rate, noise_px, seed
 MIXED_SUITE = [
     ("mx21_a", 600, 2, 1, 0.10, 0.5, 301),
-    ("mx12_a", 600, 1, 2, 0.15, 0.5, 302),
+    ("mx12_a", 600, 1, 2, 0.15, 0.5, 312),
     ("mx22_a", 700, 2, 2, 0.10, 0.5, 303),
-    ("mx22_b", 700, 2, 2, 0.30, 0.5, 313),
-    ("mx03_a", 500, 0, 3, 0.15, 0.5, 304),   # pure-motion edge
+    ("mx22_b", 700, 2, 2, 0.30, 0.5, 324),
+    ("mx03_a", 500, 0, 3, 0.15, 0.5, 307),   # pure-motion edge
     ("mx30_a", 500, 3, 0, 0.15, 0.5, 305),   # pure-plane edge
 ]
 

@@ -252,6 +252,17 @@ class MultiHConfig:
                                         # locality-sensitive; ~3.4x faster
                                         # labeling sweeps at N=10k). Exact.
     use_pallas: bool = True             # route hot ops through Pallas
+    mrf_fused_front: bool = False
+    # Fuse the residual+data-cost chain into the mean-field kernel's load
+    # pass (mean_field_fused_front; homography transfer/symmetric kinds).
+    # Implemented, parity-tested, and measured a WASH at the stress shape
+    # — docs/PERF.md's last named headroom idea (est. 1-2 ms) does not
+    # materialize: the traced PEARL while-loop is 3.21 ms fused vs
+    # 3.15 ms unfused, because XLA already folds the (K, N) residual +
+    # cost chain into ~free elementwise fusions, while the fused kernel
+    # pays for it with in-kernel front work plus per-grid-step dct/r
+    # output flushes. Kept (off) as the measured negative result and for
+    # shapes where the XLA chain might not fuse (very large L).
                                         # kernels (effective on TPU backend;
                                         # CPU always uses the jnp reference)
     pallas_approx_rcp: bool = True      # fast hardware reciprocal in the

@@ -617,11 +617,7 @@ def mean_field_t(
     else:
         q = q_init
 
-    if iterations <= 1:
-        temps = jnp.full((max(iterations, 1),), temp_end, dcost.dtype)
-    else:
-        ratio = (temp_end / temp_start) ** (1.0 / (iterations - 1))
-        temps = temp_start * ratio ** jnp.arange(iterations, dtype=dcost.dtype)
+    temps = _mf_temps(iterations, temp_start, temp_end, dcost.dtype)
 
     if use_kernel and _mrf_kernel_ok(adj):
         from multih_tpu.ops.kernels import mrf_kernel
@@ -643,6 +639,64 @@ def mean_field_t(
 
     q, _ = jax.lax.scan(body, q, temps)
     return q
+
+
+def _mf_temps(iterations, temp_start, temp_end, dtype):
+    """mean_field_t's annealing schedule (shared with the fused front)."""
+    if iterations <= 1:
+        return jnp.full((max(iterations, 1),), temp_end, dtype)
+    ratio = (temp_end / temp_start) ** (1.0 / (iterations - 1))
+    return temp_start * ratio ** jnp.arange(iterations, dtype=dtype)
+
+
+def pearl_relax_fused(
+    x1, x2, valid, Hs, active, thr, outlier_cost: float,
+    spatial_weight: float, iterations: int, temp_start: float,
+    temp_end: float, q_init: jax.Array, adj: BandedAdjacency,
+    kind: str = "symmetric", interpret: bool = False,
+):
+    """residual_matrix -> data_costs_t -> mean_field_t as ONE Pallas
+    launch (ops/kernels/mrf_kernel.mean_field_fused_front): the (K, N)
+    homography residuals and truncated-quadratic costs are computed in
+    the kernel's load pass and stay resident in VMEM across all sweeps —
+    the 'fuse the residual+data-cost chain into the mean-field load
+    pass' headroom item of docs/PERF.md. Homography transfer/symmetric
+    kinds only; requires a far-edge-free banded adjacency.
+
+    Returns (q, dct, r) so the rest of the PEARL iteration (ICM starts,
+    refit acceptance, energies) reuses the front's outputs instead of
+    recomputing them.
+    """
+    from multih_tpu.ops import geometry
+    from multih_tpu.ops.kernels import mrf_kernel
+
+    dt = jnp.float32
+    n = x1.shape[0]
+    sw_deg = spatial_weight * adj.deg[:, 0].astype(dt)
+    pts = jnp.stack(
+        [
+            x1[:, 0].astype(dt), x1[:, 1].astype(dt),
+            x2[:, 0].astype(dt), x2[:, 1].astype(dt),
+            valid.astype(dt), sw_deg,
+            jnp.zeros((n,), dt), jnp.zeros((n,), dt),
+        ],
+        axis=0,
+    )  # (8, N)
+    k = Hs.shape[0]
+    hm = jnp.concatenate(
+        [
+            Hs.reshape(k, 9).astype(dt),
+            geometry.adjugate_3x3(Hs).reshape(k, 9).astype(dt),
+            active.reshape(k, 1).astype(dt),
+        ],
+        axis=1,
+    )
+    hm = jnp.concatenate([hm, jnp.zeros((1, 19), dt)], axis=0)  # (L, 19)
+    temps = _mf_temps(iterations, temp_start, temp_end, dt)
+    return mrf_kernel.mean_field_fused_front(
+        q_init.astype(dt), pts, hm, adj.band, 1.0 / temps, thr,
+        spatial_weight, outlier_cost, kind=kind, interpret=interpret,
+    )
 
 
 def icm(

@@ -14,12 +14,20 @@ H-consistent point is also consistent with some F** (F = [e']x H for any
 epipole e'). That containment asymmetry is the crux of mixed fitting and
 drives both design choices below:
 
-1. **Sequential decomposition, specific model first.** Planes are fit
-   first on all points; fundamental matrices are fit only on the points
-   the planes left unexplained. Running F first (or jointly from scratch)
-   lets codim-1 models swallow planes whole — measured on the synthetic
-   mixed scenes: an F fitted through a plane's points has near-zero
-   Sampson residual on all of them.
+1. **Specific model first; both stages see every point.** Planes are
+   fit first on all points; fundamental matrices are then fit on all
+   points too (`f_scope="all"`, the measured default) — the containment
+   asymmetry is resolved in the ASSIGNMENT (the polish's `f_bias` makes
+   an equally-fitting H strictly cheaper than an F, so plane-covering
+   Fs starve and die to the label-cost prune), not by masking the F
+   stage to the plane remainder. The `f_scope="remainder"` variant
+   (fit motions only on points the planes left) looks safer but
+   measured WORSE on the mixed suite (mean 7.0% vs 4.2%): planes
+   legitimately claim near-planar slices of motion blobs, and the
+   depleted remainder fragments the motions — the F stage then misses
+   or bridges them, and no later stage can resurrect a motion whose F
+   was never fit. On pure-plane scenes the "all" F stage surfaces
+   nothing anyway (its own label-cost prune clears plane-bridging Fs).
 2. **Joint PEARL polish with a GRIC-style class penalty.** After both
    fits, one mean-field + ICM labeling pass runs over the UNION label
    space (labeling is model-agnostic given residuals — the same
@@ -84,9 +92,11 @@ def _joint_residual_units(res_h, res_f, x1, x2, cfg_h: MultiHConfig,
 
 
 def fit_mixed(x1, x2, valid, key, cfg_h: MultiHConfig,
-              cfg_f: MultiHConfig, f_bias: float = 0.35,
+              cfg_f: MultiHConfig, f_bias: float = 0.5,
               polish_meanfield: int = 4, polish_icm: int = 2,
-              tau_h=None, tau_f=None) -> MixedFitResult:
+              tau_h=None, tau_f=None,
+              f_scope: str = "all",
+              polish_refits: int = 2) -> MixedFitResult:
     """Mixed plane + motion segmentation of one correspondence set.
 
     Args:
@@ -98,16 +108,31 @@ def fit_mixed(x1, x2, valid, key, cfg_h: MultiHConfig,
         added to every fundamental label's data cost during the joint
         polish. 0 disables class preference (epipolar labels then win
         any tie, and since H-inliers are F-consistent, planes bleed into
-        motions). Default 0.35 measured on the synthetic mixed suite:
-        large enough to hold plane boundaries, small enough that a true
-        motion's members (transfer residual >> tau under any H) are
-        unaffected.
+        motions). Default 0.5, from a {0.35, 0.5, 0.65, 0.8} sweep on
+        the mixed suite (oracle, 6 scenes): it must EXCEED the typical
+        inlier residual in threshold units (~0.16 at 0.5 px noise /
+        tau 3 — below that, a plane's members switch to an overfitting
+        per-plane F almost for free and the label-cost prune kills the
+        H instead of the F: 0.35 loses a whole plane on the pure-plane
+        scene) while staying well below the outlier cost (above ~0.65
+        true motions start losing boundary members to the outlier label
+        and whole motions die: 0.65 drops a motion on two scenes). The
+        usable window is wide against noise (0.16) but the cliff above
+        is real — re-run the sweep if outlier_cost or the residual
+        normalization changes.
       polish_meanfield / polish_icm: joint-polish sweep counts. The
         polish starts from the sequential labeling, so a few sweeps
         suffice; 0 mean-field + 0 ICM degenerates to the pure
         sequential composition.
       tau_h / tau_f: optional traced per-class thresholds (px),
         overriding the configs without recompilation.
+      f_scope: "all" (default) fits the motion stage on every point;
+        "remainder" masks it to the points the plane stage left
+        unexplained (the measured A/B is in the module docstring).
+      polish_refits: refit-alternation rounds on the motion half after
+        the label-cost prune (Tukey moment refit + ICM reassignment) —
+        re-grows Fs the stages fit on truncated member sets (see the
+        inline rationale).
 
     Returns MixedFitResult (see label convention on the class).
     """
@@ -124,12 +149,16 @@ def fit_mixed(x1, x2, valid, key, cfg_h: MultiHConfig,
         res_h = pipeline.fit(x1, x2, valid, k1, cfg_h, tau=tau_h)
     explained_h = (res_h.labels < kh).astype(x1.dtype)
 
-    # stage 2: motions on the remainder only — never compete with planes
-    # for points a homography already explains (containment asymmetry)
+    # stage 2: motions. f_scope="remainder" fits them only on the points
+    # the planes left unexplained (never compete with planes for points a
+    # homography already explains); f_scope="all" fits them on everything
+    # and leaves the containment asymmetry to the polish's f_bias — the
+    # A/B between the two is measured on the mx suite (docs/PERF.md).
     with jax.named_scope("mixed_fit_f"):
-        res_f = pipeline.fit(
-            x1, x2, valid * (1.0 - explained_h), k2, cfg_f, tau=tau_f
+        valid_f = valid if f_scope == "all" else (
+            valid * (1.0 - explained_h)
         )
+        res_f = pipeline.fit(x1, x2, valid_f, k2, cfg_f, tau=tau_f)
 
     models = jnp.concatenate(
         [res_h.homographies, res_f.homographies], axis=0
@@ -207,6 +236,65 @@ def fit_mixed(x1, x2, valid, key, cfg_h: MultiHConfig,
                     [labels], dct, nbr_idx, nbr_w,
                     cfg_h.spatial_weight, 1,
                 )
+            # Refit alternation on the motion half (the step that makes
+            # the polish a true PEARL over the union space, not just a
+            # relabeling): the stage-F models are frozen up to here, so
+            # an F fitted on a TRUNCATED member set (its stage saw the
+            # motion through the plane stage's leftovers or a partial
+            # nucleation) claims only those members and the rest of the
+            # motion lands in OUTLIER — measured on mx22_b: two clean
+            # motions of ~122 points each held 64/113 members and ~56
+            # motion points were outliers (11.4%); one refit round
+            # re-grows them. Tukey-weighted moment refit on the current
+            # members, accepted per-model only if the member-restricted
+            # inlier count does not shrink (the F-model acceptance rule
+            # of _pearl_iteration), then one ICM reassignment. H models
+            # stay frozen: planes are codim-2 and their stage fits on
+            # full data — no truncation mode exists for them.
+            thr_f_px = pipeline._thr(cfg_f, tau_f, x1.dtype)
+            basis_f = fmodel.prepare_refit_f(x1, x2)
+            for _ in range(polish_refits):
+                oh = (
+                    labels[None, :] == jnp.arange(k_union + 1)[:, None]
+                ).astype(x1.dtype)
+                member_f = (
+                    oh[kh:k_union] * valid[None, :]
+                    * active[kh:, None]
+                )  # (Kf, N)
+                rf = r[kh:]  # threshold units (squared)
+                tk = jnp.maximum(0.0, 1.0 - rf) ** 2 * (rf < 1.0)
+                w_f = member_f * tk
+                Fs_new = fmodel.fundamental_refit_batch(
+                    w_f, basis_f, cfg_f.eig_method, cfg_f.eig_iterations,
+                    eig_pallas=pipeline._pallas_enabled(cfg_f),
+                )
+                enough = (
+                    jnp.sum((w_f > 0).astype(x1.dtype), axis=1)
+                    >= float(cfg_f.minimal_points)
+                ) & jnp.all(jnp.isfinite(Fs_new.reshape(kf, -1)), axis=1)
+                rf_new = fmodel.residual_matrix_f(
+                    Fs_new, x1, x2, cfg_f.residual
+                ) / thr_f_px
+                in_old = jnp.sum((rf < 1.0) * member_f, axis=1)
+                in_new = jnp.sum((rf_new < 1.0) * member_f, axis=1)
+                take = (enough & (in_new >= in_old))[:, None]
+                models = jnp.concatenate(
+                    [
+                        models[:kh],
+                        jnp.where(take[..., None], Fs_new, models[kh:]),
+                    ],
+                    axis=0,
+                )
+                r = jnp.concatenate(
+                    [r[:kh], jnp.where(take, rf_new, rf)], axis=0
+                )
+                dct = labeling.data_costs_t(
+                    r, valid, one, cfg_h.outlier_cost, active
+                ) + bias_row
+                labels = labeling.best_labeling_t(
+                    [labels], dct, nbr_idx, nbr_w,
+                    cfg_h.spatial_weight, 1,
+                )
         else:
             labels = lab_seq
 
@@ -240,16 +328,19 @@ _MIXED_CACHE: dict = {}
 
 
 def make_fit_mixed(cfg_h: MultiHConfig, cfg_f: MultiHConfig,
-                   f_bias: float = 0.35, polish_meanfield: int = 4,
-                   polish_icm: int = 2):
+                   f_bias: float = 0.5, polish_meanfield: int = 4,
+                   polish_icm: int = 2, f_scope: str = "all",
+                   polish_refits: int = 2):
     """Jitted mixed fit: (x1, x2, valid, key) -> MixedFitResult — both
     stages + the joint polish in one XLA program. Cached per config."""
-    key_t = (cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm)
+    key_t = (cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm,
+             f_scope, polish_refits)
     if key_t not in _MIXED_CACHE:
         _MIXED_CACHE[key_t] = jax.jit(
             lambda x1, x2, valid, key: fit_mixed(
                 x1, x2, valid, key, cfg_h, cfg_f, f_bias,
-                polish_meanfield, polish_icm,
+                polish_meanfield, polish_icm, f_scope=f_scope,
+                polish_refits=polish_refits,
             )
         )
     return _MIXED_CACHE[key_t]

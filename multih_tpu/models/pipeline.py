@@ -520,6 +520,7 @@ def _pt_constrain(mesh):
             x, NamedSharding(mesh, P(*spec))
         )
 
+    c.is_pt_mesh = True  # _pearl_iteration gates the fused front on this
     return c
 
 
@@ -818,20 +819,42 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     Hs, active, q = carry  # q is label-major (L, N) across iterations
     thr = _thr(cfg, tau, x1.dtype)
     k = cfg.max_labels
+    has_pt_mesh = getattr(ptc, "is_pt_mesh", False)
     if ptc is None:
         ptc = lambda x, *spec: x  # noqa: E731 — identity (no pt mesh)
 
     use_k = _pallas_enabled(cfg)
-    r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)  # (K, N)
-    r = ptc(r, None, "pt")
-    # everything below runs label-major (L, N): points on lanes — the
-    # (N, L) forms pad L~17 to 128 lanes, 7.5x the bytes per intermediate
-    dct = labeling.data_costs_t(r, valid, thr, cfg.outlier_cost, active)
-    q = labeling.mean_field_t(
-        dct, nbr_idx, nbr_w, cfg.spatial_weight,
-        cfg.meanfield_iterations, cfg.temperature_start, cfg.temperature,
-        q_init=q, adj=adj, use_kernel=use_k,
+    # fused front (ops/kernels/mrf_kernel.mean_field_fused_front): the
+    # residual matrix, data costs and every mean-field sweep in ONE
+    # launch; the homography kinds the kernel implements, single-device
+    # point axis (the pt-mesh path needs sharding constraints on r that
+    # a Pallas call can't carry).
+    fused_front = (
+        use_k and cfg.mrf_fused_front and labeling._mrf_kernel_ok(adj)
+        and not has_pt_mesh and cfg.model == "homography"
+        and cfg.residual in ("symmetric", "transfer")
     )
+    if fused_front:
+        q, dct, r = labeling.pearl_relax_fused(
+            x1, x2, valid, Hs, active, thr, cfg.outlier_cost,
+            cfg.spatial_weight, cfg.meanfield_iterations,
+            cfg.temperature_start, cfg.temperature, q, adj,
+            kind=cfg.residual,
+        )
+    else:
+        r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)  # (K, N)
+        r = ptc(r, None, "pt")
+        # everything below runs label-major (L, N): points on lanes — the
+        # (N, L) forms pad L~17 to 128 lanes, 7.5x the bytes per
+        # intermediate
+        dct = labeling.data_costs_t(
+            r, valid, thr, cfg.outlier_cost, active
+        )
+        q = labeling.mean_field_t(
+            dct, nbr_idx, nbr_w, cfg.spatial_weight,
+            cfg.meanfield_iterations, cfg.temperature_start,
+            cfg.temperature, q_init=q, adj=adj, use_kernel=use_k,
+        )
     # Two ICM starts, keep the lower-energy labeling. Mean-field smooths
     # well once planes have mass but cannot nucleate sparse fragments
     # against the outlier field (its updates are local; alpha-expansion's
@@ -1276,9 +1299,79 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             half = cum[:, -1:] * 0.5
             rr = jnp.clip(r / thr, 0.0, 1.0)
             tk = (1.0 - rr) ** 2 * (r < thr)
+            # four split axes per model: spatial (Morton-index median —
+            # points are Morton-sorted, so this is a spatial cut), the
+            # two FLOW components (member-mean cut), and the member
+            # flow's PRINCIPAL axis (mean cut on the projection).
+            # Spatially overlapping motions — e.g. two objects crossing
+            # — are inseparable by any spatial cut, but their rigid
+            # motions differ, so the flow field is bimodal over a
+            # bridge's member set (measured: the mixed suite's mx03_a
+            # bridges survive the spatial split on 2/6 keys; the flow
+            # cuts fix those, and the principal-axis cut covers bridges
+            # whose flow separation is diagonal to both components).
+            flow = x2 - x1  # (N, 2)
+            sup_m = jnp.maximum(jnp.sum(member, axis=1, keepdims=True),
+                                1.0)
+
+            def _axis_split(a_kn):
+                mean_k = (
+                    jnp.sum(member * a_kn, axis=1, keepdims=True) / sup_m
+                )
+                return (member * (a_kn <= mean_k),
+                        member * (a_kn > mean_k))
+
+            fx_lo, fx_hi = _axis_split(
+                jnp.broadcast_to(flow[None, :, 0], member.shape)
+            )
+            fy_lo, fy_hi = _axis_split(
+                jnp.broadcast_to(flow[None, :, 1], member.shape)
+            )
+            # leading eigenvector of each member set's 2x2 flow
+            # covariance, closed form; degenerate (isotropic/empty)
+            # covariances fall back to the x axis, whose cut already
+            # exists above
+            mf = (member @ flow) / sup_m                     # (K, 2)
+            d0 = flow[None, :, 0] - mf[:, 0:1]
+            d1 = flow[None, :, 1] - mf[:, 1:2]
+            ca = jnp.sum(member * d0 * d0, axis=1)
+            cb = jnp.sum(member * d0 * d1, axis=1)
+            cc = jnp.sum(member * d1 * d1, axis=1)
+            lam = 0.5 * (ca + cc) + jnp.sqrt(
+                0.25 * (ca - cc) ** 2 + cb * cb
+            )
+            vx, vy = cb, lam - ca
+            degv = (jnp.abs(vx) + jnp.abs(vy)) < 1e-12
+            vx = jnp.where(degv, 1.0, vx)
+            vy = jnp.where(degv, 0.0, vy)
+            proj = (vx[:, None] * flow[None, :, 0]
+                    + vy[:, None] * flow[None, :, 1])        # (K, N)
+            # quartile cuts (q25/q50/q75) on the principal axis, not a
+            # mean cut: a 70/30 bridge's member mean lands INSIDE the
+            # majority motion's flow cluster, so both mean halves stay
+            # majority-dominated and the refits stay bridges (measured:
+            # mx03_a key1's 204-member bridge holds one 142-pt motion
+            # plus 62 points of another); the quartile cuts bracket any
+            # >=25% minority
+            n_pts = member.shape[1]
+            proj_sorted = jnp.sort(
+                jnp.where(member > 0, proj, jnp.inf), axis=1
+            )
+            sup_i = jnp.sum(member, axis=1)
+            pca_cuts = []
+            for qf in (0.25, 0.5, 0.75):
+                pos = jnp.clip(
+                    (sup_i * qf).astype(jnp.int32), 0, n_pts - 1
+                )
+                cut = jnp.take_along_axis(
+                    proj_sorted, pos[:, None], axis=1
+                )
+                pca_cuts += [member * (proj <= cut),
+                             member * (proj > cut)]
             w_split = jnp.concatenate(
-                [member * (cum <= half), member * (cum > half)], axis=0
-            ) * jnp.tile(tk, (2, 1))  # (2K, N)
+                [member * (cum <= half), member * (cum > half),
+                 fx_lo, fx_hi, fy_lo, fy_hi] + pca_cuts, axis=0
+            ) * jnp.tile(tk, (12, 1))  # (12K, N)
             basis = _prepare_refit_basis(x1, x2, cfg)
             Hs_split = _refit_batch(w_split, basis, cfg)
             n_eff = jnp.sum((w_split > 0).astype(x1.dtype), axis=1)
@@ -1286,7 +1379,7 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
                 (n_eff >= float(cfg.minimal_points))
                 & jnp.all(jnp.isfinite(Hs_split.reshape(-1, 9)), axis=1)
             ).astype(x1.dtype)
-            cand = jnp.concatenate([Hs, Hs_split], axis=0)  # (3K, 3, 3)
+            cand = jnp.concatenate([Hs, Hs_split], axis=0)  # (13K, 3, 3)
             cand_ok = jnp.concatenate([active, ok_split], axis=0)
             r_cand = model_residual_matrix(cand, x1, x2, cfg.residual,
                                            cfg)

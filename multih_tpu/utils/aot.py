@@ -179,21 +179,21 @@ def cached_fit(cfg, kind: str = "fit", cache_dir: str | None = None,
 # ---------------------------------------------------------------------------
 
 def cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
-                    polish_icm) -> str:
+                    polish_icm, f_scope="all") -> str:
     import jax
 
     sig = "|".join([
         _STAMP, jax.__version__, jax.default_backend(), "fit_mixed",
         repr(cfg_h), repr(cfg_f),
-        repr((f_bias, polish_meanfield, polish_icm)),
+        repr((f_bias, polish_meanfield, polish_icm, f_scope)),
     ])
     return hashlib.sha256(sig.encode()).hexdigest()[:24]
 
 
-def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.35,
+def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.5,
                      polish_meanfield: int = 4, polish_icm: int = 2,
                      cache_dir: str | None = None,
-                     save_on_miss: bool = True):
+                     save_on_miss: bool = True, f_scope: str = "all"):
     """Mixed-fit analog of `cached_fit`: load-or-export the two-stage +
     joint-polish program (models/mixed.py). Same fallback semantics —
     any miss or incompatibility returns the plain jitted fit."""
@@ -207,13 +207,14 @@ def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.35,
 
     def _jit():
         return mixed.make_fit_mixed(
-            cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm
+            cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm,
+            f_scope=f_scope,
         )
 
     path = os.path.join(
         cache_dir,
         cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
-                        polish_icm) + ".bin",
+                        polish_icm, f_scope) + ".bin",
     )
     if os.path.exists(path):
         try:

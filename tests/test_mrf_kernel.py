@@ -111,6 +111,92 @@ class TestFusedMeanField:
         )
 
 
+def _front_problem(rng, n=512, b=128, k_lbl=6):
+    """Morton scene + hypotheses + banded adjacency for the fused
+    residual+data-cost front (VERDICT r3 task 5)."""
+    x1, valid = _morton_scene(rng, n, invalid=30)
+    x2 = x1 + jnp.asarray(rng.normal(0, 2.0, (n, 2)).astype(np.float32))
+    nbr_idx, nbr_w = labeling.knn_graph_windowed(x1, valid, 6, b)
+    adj = labeling.build_banded_adjacency(nbr_idx, nbr_w, b,
+                                          far_capacity=0)
+    # hypotheses: near-identity warps (small residuals for some points)
+    # plus wild ones (huge residuals -> truncation branch), one inactive
+    Hs = jnp.asarray(
+        np.eye(3)[None] + rng.normal(0, 0.02, (k_lbl, 3, 3)),
+        jnp.float32,
+    )
+    Hs = Hs.at[-1].set(
+        jnp.asarray(rng.normal(0, 1.0, (3, 3)), jnp.float32)
+    )
+    active = jnp.ones((k_lbl,), jnp.float32).at[1].set(0.0)
+    return x1, x2, valid, Hs, active, nbr_idx, nbr_w, adj
+
+
+class TestFusedFront:
+    KW = dict(outlier_cost=1.0, spatial_weight=0.1, iterations=4,
+              temp_start=2.0, temp_end=0.25)
+
+    @pytest.mark.parametrize("kind", ["symmetric", "transfer"])
+    def test_r_and_dct_match_reference(self, rng, kind):
+        from multih_tpu.ops import geometry
+
+        x1, x2, valid, Hs, active, nbr_idx, nbr_w, adj = \
+            _front_problem(rng)
+        l = Hs.shape[0] + 1
+        thr = jnp.asarray(9.0, jnp.float32)
+        q0 = jnp.full((l, x1.shape[0]), 1.0 / l, jnp.float32)
+        q, dct, r = labeling.pearl_relax_fused(
+            x1, x2, valid, Hs, active, thr, q_init=q0, adj=adj,
+            kind=kind, interpret=True, **self.KW,
+        )
+        r_ref = geometry.residual_matrix(Hs, x1, x2, kind)
+        # rtol 1e-3: the VPU multiply-add front vs the MXU HIGHEST einsum
+        # differ by ~1e-4 relative on near-singular-denominator residuals
+        # (1e9+ px^2, all truncated to the 8x cost ceiling); the COST
+        # agreement below is the contract that matters
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(r_ref), rtol=1e-3, atol=1e-4
+        )
+        thr_f = float(thr)
+        np.testing.assert_allclose(
+            np.minimum(np.asarray(r) / thr_f, 8.0),
+            np.minimum(np.asarray(r_ref) / thr_f, 8.0),
+            atol=1e-4,
+        )
+        # given the kernel's own r, the cost shaping must match
+        # data_costs_t to float32 rounding (same ops; fusion/FMA choices
+        # differ across the two compilations by ~1 ulp)
+        dct_ref = labeling.data_costs_t(r, valid, thr, 1.0, active)
+        np.testing.assert_allclose(
+            np.asarray(dct), np.asarray(dct_ref), rtol=2e-6, atol=1e-6
+        )
+
+    def test_q_matches_unfused_sweeps(self, rng):
+        """Fed its own dct, the front's sweeps are the same math as
+        mean_field_t — bit-identical marginals."""
+        x1, x2, valid, Hs, active, nbr_idx, nbr_w, adj = \
+            _front_problem(rng)
+        l = Hs.shape[0] + 1
+        thr = jnp.asarray(9.0, jnp.float32)
+        q0 = jnp.full((l, x1.shape[0]), 1.0 / l, jnp.float32)
+        q, dct, r = labeling.pearl_relax_fused(
+            x1, x2, valid, Hs, active, thr, q_init=q0, adj=adj,
+            kind="symmetric", interpret=True, **self.KW,
+        )
+        q_ref = labeling.mean_field_t(
+            dct, nbr_idx, nbr_w, 0.1, 4, 2.0, 0.25, q_init=q0, adj=adj,
+            use_kernel=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+        # and within tolerance of the pure-jnp reference scan
+        q_jnp = labeling.mean_field_t(
+            dct, nbr_idx, nbr_w, 0.1, 4, 2.0, 0.25, q_init=q0, adj=adj,
+        )
+        np.testing.assert_allclose(
+            np.asarray(q), np.asarray(q_jnp), atol=1e-5
+        )
+
+
 class TestFusedIcm:
     def test_matches_jnp_batch_exactly(self, rng):
         """Label updates are discrete — the fused kernel must agree with
