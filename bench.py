@@ -19,6 +19,22 @@ import json
 import time
 
 
+def _disp(values, nd=3):
+    """{median, min, max, iters} for a list of per-iteration samples —
+    makes every headline number falsifiable round-over-round (a 26% move
+    whose [min, max] ranges overlap with last round's is tunnel noise;
+    disjoint ranges are a real regression). VERDICT r4 task 6."""
+    vs = sorted(float(v) for v in values)
+    if not vs:
+        return None
+    return {
+        "median": round(vs[len(vs) // 2], nd),
+        "min": round(vs[0], nd),
+        "max": round(vs[-1], nd),
+        "iters": len(vs),
+    }
+
+
 def _stress_cfg(n_points, n_hyp, **kw):
     """The stress-shape config (BASELINE.json:10). Big scenes trade
     progressive rounds for claims per round: rounds=2 x R=8 claims is
@@ -72,7 +88,7 @@ def _stress_cfg(n_points, n_hyp, **kw):
 
 
 def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=6,
-                                reps=2):
+                                reps=3):
     """Verified hypotheses/sec at the ACTUAL stress configuration
     (BASELINE.json:10: 10k correspondences, 100k-hypothesis pool, 70%
     outliers): threefry sampling + vmapped 4-pt DLT + the tiled Pallas
@@ -111,7 +127,7 @@ def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=6,
     seed = jnp.asarray(0, jnp.int32)
     out, seed = hypothesize_and_verify(seed)  # compile
     jax.block_until_ready(seed)
-    best = float("inf")
+    dts = []
     for rep in range(reps + 1):  # rep 0 = warm-up, discarded
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -119,8 +135,8 @@ def bench_hypothesis_throughput(n_points=10240, n_hyp=102400, iters=6,
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         if rep > 0:
-            best = min(best, dt)
-    return n_hyp / best, best
+            dts.append(dt)
+    return [n_hyp / dt for dt in dts], min(dts)
 
 
 # flops per (hypothesis, point) pair in the verification kernel: forward
@@ -137,7 +153,7 @@ _VPU_PEAK_FLOPS = 3.1e12
 
 
 def bench_verification_kernel(n_points=10240, n_hyp=102400, iters=8,
-                              reps=2):
+                              reps=3):
     """The verification sweep alone (Pallas tiled count kernel) at stress
     scale: Gpair/s and an estimated fraction of VPU fp32 peak.
 
@@ -179,7 +195,7 @@ def bench_verification_kernel(n_points=10240, n_hyp=102400, iters=8,
     c, tau = sweep_chained(Hs, tau)  # compile
     jax.block_until_ready(tau)
 
-    best = float("inf")
+    dts = []
     for rep in range(reps + 1):  # rep 0 = warm-up, discarded
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -187,11 +203,13 @@ def bench_verification_kernel(n_points=10240, n_hyp=102400, iters=8,
         jax.block_until_ready(c)
         dt = (time.perf_counter() - t0) / iters
         if rep > 0:
-            best = min(best, dt)
+            dts.append(dt)
+    best = min(dts)
     pairs = float(n_points) * float(n_hyp)
+    gpairs_all = [pairs / dt / 1e9 for dt in dts]
     gpairs = pairs / best / 1e9
     vpu_pct = 100.0 * gpairs * 1e9 * _VERIFY_FLOPS_PER_PAIR / _VPU_PEAK_FLOPS
-    return gpairs, vpu_pct, best
+    return gpairs_all, vpu_pct, best
 
 
 def bench_pair_latency(iters=20):
@@ -219,8 +237,7 @@ def bench_pair_latency(iters=20):
         t0 = time.perf_counter()
         jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    return times
 
 
 def bench_stream(n_frames=40):
@@ -301,7 +318,6 @@ def bench_stress(iters=3):
         t0 = time.perf_counter()
         jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
-    times.sort()
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             r = None
@@ -310,8 +326,8 @@ def bench_stress(iters=3):
             jax.block_until_ready(r.labels)
         # the fit program is by far the largest module in the trace;
         # min_ms=5 excludes every helper dispatch
-        device_ms = tracing.median_device_ms(td, min_ms=5.0)
-    return times[len(times) // 2], device_ms, planes
+        device_ms = tracing.module_device_times_ms(td, min_ms=5.0)
+    return times, device_ms, planes
 
 
 def bench_stress_throughput(n_fits=12, n_buffers=3):
@@ -325,7 +341,7 @@ def bench_stress_throughput(n_fits=12, n_buffers=3):
     instead of serializing it (bench_stress measures exactly that
     serialized shape; docs/PERF.md 'A note on timing').
 
-    Returns (sustained fits/s, effective ms/fit)."""
+    Returns (per-rep sustained fits/s list, best effective ms/fit)."""
     import jax
     import jax.numpy as jnp
 
@@ -342,17 +358,19 @@ def bench_stress_throughput(n_fits=12, n_buffers=3):
     f = multih_tpu.make_fit(cfg)
     h0 = jax.device_put(scenes[0])
     jax.block_until_ready(f(*h0, jax.random.key(0)))  # compile
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(n_fits):
-        # async upload + async dispatch: fit i's upload overlaps fit
-        # i-1's device execution, same double-buffering the streaming
-        # path uses (utils/streaming.py)
-        bufs = jax.device_put(scenes[i % n_buffers])
-        outs.append(f(*bufs, jax.random.key(i + 1)).labels)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    return n_fits / dt, dt / n_fits * 1e3
+    fps_reps = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(n_fits):
+            # async upload + async dispatch: fit i's upload overlaps fit
+            # i-1's device execution, same double-buffering the streaming
+            # path uses (utils/streaming.py)
+            bufs = jax.device_put(scenes[i % n_buffers])
+            outs.append(f(*bufs, jax.random.key(i + 1)).labels)
+        jax.block_until_ready(outs)
+        fps_reps.append(n_fits / (time.perf_counter() - t0))
+    return fps_reps, 1e3 / max(fps_reps)
 
 
 def bench_mixed(iters=3):
@@ -396,9 +414,7 @@ def bench_mixed(iters=3):
             f(x1, x2, valid, jax.random.key(i + 1)).labels
         )
         times.append(time.perf_counter() - t0)
-    times.sort()
-    return (times[len(times) // 2], int(act.sum()),
-            int(act[is_f > 0].sum()), err)
+    return (times, int(act.sum()), int(act[is_f > 0].sum()), err)
 
 
 def bench_motion(iters=3):
@@ -407,9 +423,21 @@ def bench_motion(iters=3):
     benchmark. Measured on the suite's posedness-checked fm4_b scene
     (600 correspondences, 4 rigid motions, 15% outliers, 0.5 px noise —
     benchmarks/suite.py documents the bridge-F posedness check) with an
-    8,192-hypothesis 8-point pool. Returns (median blocked seconds,
-    device ms from a jax.profiler trace, motions recovered,
-    misclassification %)."""
+    8,192-hypothesis 8-point pool. Returns (blocked seconds list,
+    device ms list from a jax.profiler trace, motions recovered,
+    per-key misclassification % list).
+
+    The accuracy figure is a multi-key MEAN since r5 (VERDICT r4
+    task 2 / weak #1: the single-key r3->r4 move 3.33 -> 4.83 was
+    reported as a regression). Bisecting the four r4 changes on this
+    exact scene over 6 keys (2026-08-20, CPU, docs/PERF.md 'The r4
+    motion-bench move was key noise') shows the opposite: r4-full mean
+    3.72% vs 7.06% with all four reverted; no single change regresses
+    the mean (worst individual revert: classic 4t/2t/t LO, 6.36%).
+    Per-key spread within one config is ~1.3-1.5 pp, larger than the
+    reported move — a single-key figure cannot distinguish key luck
+    from a real change, so the bench now averages keys and reports
+    per-key dispersion."""
     import tempfile
 
     import jax
@@ -429,26 +457,28 @@ def bench_motion(iters=3):
     )
     x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
     f = multih_tpu.make_fit(cfg)
-    res = f(x1, x2, valid, jax.random.key(0))
-    jax.block_until_ready(res)
-    motions = float(jnp.sum(res.active))
-    miscls = evaluation.misclassification_error(
-        np.asarray(res.labels), gt, cfg.max_labels
-    )
-    times = []
+    errs, times = [], []
+    motions = 0.0
+    for k in range(5):
+        res = f(x1, x2, valid, jax.random.key(k))
+        jax.block_until_ready(res)
+        errs.append(evaluation.misclassification_error(
+            np.asarray(res.labels), gt, cfg.max_labels
+        ))
+        if k == 0:
+            motions = float(jnp.sum(res.active))
     for i in range(iters):
         t0 = time.perf_counter()
         jax.block_until_ready(f(x1, x2, valid, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
-    times.sort()
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             r = None
             for i in range(iters):
                 r = f(x1, x2, valid, jax.random.key(100 + i))
             jax.block_until_ready(r.labels)
-        device_ms = tracing.median_device_ms(td, min_ms=1.0)
-    return times[len(times) // 2], device_ms, motions, miscls
+        device_ms = tracing.module_device_times_ms(td, min_ms=1.0)
+    return times, device_ms, motions, errs
 
 
 def main():
@@ -467,14 +497,30 @@ def main():
     # device in a state where later small dispatches run ~100x slower, which
     # would corrupt the latency measurement (order-dependence observed on
     # the shared dev chip; a local chip should not care).
-    pair_s = bench_pair_latency()
+    pair_ts = bench_pair_latency()
     stream, stream_pre = bench_stream()
-    stress_s, stress_dev_ms, stress_planes = bench_stress()
-    sustained_fps, sustained_ms = bench_stress_throughput()
-    motion_s, motion_dev_ms, motions, motion_err = bench_motion()
-    mixed_s, mixed_models, mixed_f, mixed_err = bench_mixed()
-    hyp_per_s, hv_sweep_s = bench_hypothesis_throughput()
-    gpairs, vpu_pct, verify_s = bench_verification_kernel()
+    stress_ts, stress_dev, stress_planes = bench_stress()
+    sustained_reps, sustained_ms = bench_stress_throughput()
+    motion_ts, motion_dev, motions, motion_errs = bench_motion()
+    mixed_ts, mixed_models, mixed_f, mixed_err = bench_mixed()
+    hyp_reps, hv_sweep_s = bench_hypothesis_throughput()
+    gpairs_reps, vpu_pct, verify_s = bench_verification_kernel()
+
+    import numpy as _np
+
+    def _med(vs):
+        return sorted(vs)[len(vs) // 2]
+
+    pair_s = _med(pair_ts)
+    stress_s = _med(stress_ts)
+    stress_dev_ms = _med(stress_dev) if stress_dev else None
+    motion_s = _med(motion_ts)
+    motion_dev_ms = _med(motion_dev) if motion_dev else None
+    mixed_s = _med(mixed_ts)
+    sustained_fps = max(sustained_reps)
+    hyp_per_s = _med(hyp_reps)
+    gpairs = max(gpairs_reps)
+    motion_err = float(_np.mean(motion_errs))
     target = 50_000.0  # BASELINE.json:5
     print(
         json.dumps(
@@ -483,6 +529,24 @@ def main():
                 "value": round(hyp_per_s, 1),
                 "unit": "hypotheses/s",
                 "vs_baseline": round(hyp_per_s / target, 3),
+                # per-metric {median, min, max, iters} so a round-over-
+                # round move is classifiable as noise or regression from
+                # the JSON alone (VERDICT r4 task 6)
+                "dispersion": {
+                    "verified_hypotheses_per_sec_per_chip": _disp(
+                        hyp_reps, nd=1),
+                    "pair_fit_latency_ms": _disp(
+                        [t * 1e3 for t in pair_ts]),
+                    "stress_fit_ms": _disp([t * 1e3 for t in stress_ts]),
+                    "stress_fit_device_ms": _disp(stress_dev, nd=2),
+                    "stress_sustained_fits_per_s": _disp(
+                        sustained_reps, nd=2),
+                    "motion_fit_ms": _disp([t * 1e3 for t in motion_ts]),
+                    "motion_fit_device_ms": _disp(motion_dev, nd=2),
+                    "motion_miscls_pct": _disp(motion_errs, nd=2),
+                    "mixed_fit_ms": _disp([t * 1e3 for t in mixed_ts]),
+                    "verify_gpairs_per_s": _disp(gpairs_reps, nd=2),
+                },
                 "secondary": {
                     # all *stress* fields measured at the 10240 pts x
                     # 102400 hyp configuration (BASELINE.json:10)

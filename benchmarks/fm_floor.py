@@ -256,3 +256,13 @@ if __name__ == "__main__":
         "suite_mean_floor_nn_pct": round(mean_nn, 3),
         "suite_mean_floor_potts_pct": round(mean_potts, 3),
     }))
+    if "--save" in sys.argv:
+        # persist per-scene floors: run_motion_suite.py reports each
+        # scene's error RELATIVE to its Potts floor (VERDICT r4 task 1)
+        path = os.path.join(os.path.dirname(__file__), "results",
+                            "fm_floor.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({r["scene"]: r for r in rows}, f, indent=1,
+                      sort_keys=True)
+            f.write("\n")

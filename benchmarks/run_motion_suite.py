@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--goldens", default=os.path.join(
         os.path.dirname(__file__), "..", "tests", "goldens"))
+    ap.add_argument("--no-update", action="store_true",
+                    help="diff against benchmarks/results/ but do not "
+                         "overwrite the saved per-scene results")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +42,13 @@ def main():
 
     import multih_tpu
     from multih_tpu.utils import evaluation
+
+    floor_path = os.path.join(os.path.dirname(__file__), "results",
+                              "fm_floor.json")
+    floors = {}
+    if os.path.exists(floor_path):
+        with open(floor_path) as fh:
+            floors = json.load(fh)
 
     rows = []
     fits = {}
@@ -79,16 +89,40 @@ def main():
             g = float(np.load(gp)["misclassification"])
             row["golden_miscls_pct"] = round(g, 3)
             row["delta_pct"] = round(row["tpu_miscls_pct"] - g, 3)
+        if name in floors:
+            # error relative to the scene's GT-model Potts floor
+            # (benchmarks/fm_floor.py --save): the estimator-attributable
+            # part of the error, VERDICT r4 task 1
+            fl = floors[name]["floor_potts_pct"]
+            row["floor_potts_pct"] = fl
+            row["above_floor_pct"] = round(row["tpu_miscls_pct"] - fl, 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     errs = [r["tpu_miscls_pct"] for r in rows]
     deltas = [r["delta_pct"] for r in rows if "delta_pct" in r]
+
+    from benchmarks import regression
+
+    flags, _ = regression.track(
+        "motion_suite", rows,
+        meta={
+            "platform": jax.default_backend(),
+            "hypotheses": args.hypotheses,
+            "keys": args.keys,
+        },
+        update=not args.no_update,
+    )
+    above = [r["above_floor_pct"] for r in rows if "above_floor_pct" in r]
     print(json.dumps({"summary": {
         "mean_tpu_miscls_pct": round(float(np.mean(errs)), 3),
         "mean_delta_vs_golden_pct": (
             round(float(np.mean(deltas)), 3) if deltas else None
         ),
+        "mean_above_floor_pct": (
+            round(float(np.mean(above)), 3) if above else None
+        ),
+        "regressed_scenes": flags,
         "wall_s": round(time.perf_counter() - t_start, 1),
     }}))
 

@@ -135,6 +135,9 @@ def main():
                          "(debugging individual scenes)")
     ap.add_argument("--goldens", default=os.path.join(
         os.path.dirname(__file__), "..", "tests", "goldens"))
+    ap.add_argument("--no-update", action="store_true",
+                    help="diff against benchmarks/results/ but do not "
+                         "overwrite the saved per-scene results")
     args = ap.parse_args()
 
     import jax
@@ -158,12 +161,26 @@ def main():
 
     errs = [r["tpu_miscls_pct"] for r in rows]
     deltas = [r["delta_pct"] for r in rows if "delta_pct" in r]
+
+    from benchmarks import regression
+
+    flags, _ = regression.track(
+        "homography_suite", rows,
+        meta={
+            "platform": jax.default_backend(),
+            "hypotheses": args.hypotheses,
+            "keys": 2,
+            "adaptive": args.adaptive,
+        },
+        update=not args.no_update,
+    )
     summary = {
         "mean_tpu_miscls_pct": round(float(np.mean(errs)), 3),
         "median_tpu_miscls_pct": round(float(np.median(errs)), 3),
         "mean_delta_vs_golden_pct": (
             round(float(np.mean(deltas)), 3) if deltas else None
         ),
+        "regressed_scenes": flags,
         **timing,
     }
     print(json.dumps({"summary": summary}))

@@ -61,6 +61,16 @@ class MultiHConfig:
     # win pointwise on data cost and the bridge dies to the label-cost
     # prune. Measured: fm suite mean 4.91 -> lower with splits; the
     # homography path never runs this (planes cannot bridge).
+    f_member_acceptance: bool = True
+    # Fundamental refit acceptance counts MEMBER inliers, not global
+    # (pipeline._pearl_iteration): a bridge F must be allowed to purify
+    # toward its members even when the purified F has fewer global
+    # inliers. False = the homography rule (global count) for A/B and
+    # path-gate tests.
+    f_union_merge: bool = True
+    # Energy-tested union-refit merge of fragment pairs each PEARL
+    # iteration (fundamental only). False disables the move (A/B /
+    # path-gate surface; the Jaccard duplicate merge still runs).
 
     # --- geometry / residuals (reference C6) ---
     inlier_threshold: float = 3.0       # px; squared internally

@@ -882,7 +882,11 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     member_k = (
         labels[None, :] == jnp.arange(k)[:, None]
     ).astype(x1.dtype) * valid[None, :]  # (K, N)
-    acc_w = member_k if cfg.model == "fundamental" else valid[None, :]
+    acc_w = (
+        member_k
+        if cfg.model == "fundamental" and cfg.f_member_acceptance
+        else valid[None, :]
+    )
     in_old = jnp.sum((r < thr) * acc_w, axis=1)
     in_new = jnp.sum((r_new < thr) * acc_w, axis=1)
     better = (in_new >= in_old)[:, None, None]
@@ -953,7 +957,7 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
         active, adj=adj,
     )
 
-    if cfg.model == "fundamental":
+    if cfg.model == "fundamental" and cfg.f_union_merge:
         # Union-refit merge, ENERGY-TESTED (J-linkage-style consolidation
         # judged by the PEARL objective itself; mirrors the float64
         # oracle): two under-grown FRAGMENTS of one motion share few
