@@ -446,6 +446,41 @@ def _pallas_enabled(cfg: MultiHConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
+def banded_gate(cfg: MultiHConfig, n_pts: int) -> bool:
+    """Whether the banded agreement operator (and the windowed k-NN that
+    feeds it) is eligible: Morton-sorted points and a block-aligned N.
+    THE single source of truth — fit() branches on this, and
+    tests/test_path_gates.py asserts it, so a gate regression fails a
+    named test instead of silently changing numerics (VERDICT r4
+    task 7)."""
+    return (cfg.agree_block > 0 and cfg.spatial_sort
+            and n_pts % cfg.agree_block == 0
+            and n_pts >= 2 * cfg.agree_block)
+
+
+def fused_front_gate(cfg: MultiHConfig, adj, has_pt_mesh: bool) -> bool:
+    """Whether _pearl_iteration may run the fused residual+data-cost+
+    mean-field kernel (config.mrf_fused_front): Pallas on, a far-edge-
+    free banded adjacency, single-device point axis (a Pallas call
+    cannot carry the pt-mesh sharding constraints on r), and one of the
+    homography residual kinds the kernel implements."""
+    return (_pallas_enabled(cfg) and cfg.mrf_fused_front
+            and labeling._mrf_kernel_ok(adj)
+            and not has_pt_mesh and cfg.model == "homography"
+            and cfg.residual in ("symmetric", "transfer"))
+
+
+def graph_path(cfg: MultiHConfig, n_pts: int) -> str:
+    """Which k-NN graph implementation fit() selects for these shapes:
+    'windowed' (Morton 3-block window, banded), 'row_blocked' (exact
+    full-range build), or 'row_blocked_approx' (cfg.knn_approx
+    fallback). Mirrors fit()'s branch exactly (single source of truth
+    for the windowed condition is banded_gate)."""
+    if banded_gate(cfg, n_pts) and cfg.knn_window:
+        return "windowed"
+    return "row_blocked_approx" if cfg.knn_approx else "row_blocked"
+
+
 def count_inliers(Hs, x1, x2, valid, cfg: MultiHConfig, tau=None,
                   kind: str | None = None):
     """C6 over the full pool without materializing (S, N).
@@ -826,14 +861,9 @@ def _pearl_iteration(carry, it, x1, x2, valid, nbr_idx, nbr_w,
     use_k = _pallas_enabled(cfg)
     # fused front (ops/kernels/mrf_kernel.mean_field_fused_front): the
     # residual matrix, data costs and every mean-field sweep in ONE
-    # launch; the homography kinds the kernel implements, single-device
-    # point axis (the pt-mesh path needs sharding constraints on r that
-    # a Pallas call can't carry).
-    fused_front = (
-        use_k and cfg.mrf_fused_front and labeling._mrf_kernel_ok(adj)
-        and not has_pt_mesh and cfg.model == "homography"
-        and cfg.residual in ("symmetric", "transfer")
-    )
+    # launch; eligibility centralized in fused_front_gate (path-gate
+    # tested).
+    fused_front = fused_front_gate(cfg, adj, has_pt_mesh)
     if fused_front:
         q, dct, r = labeling.pearl_relax_fused(
             x1, x2, valid, Hs, active, thr, cfg.outlier_cost,
@@ -1089,10 +1119,8 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     # the band of the agreement operator below. Otherwise the full-range
     # row-blocked build runs.
     n_pts = x1.shape[0]
-    banded_ok = (cfg.agree_block > 0 and cfg.spatial_sort
-                 and n_pts % cfg.agree_block == 0
-                 and n_pts >= 2 * cfg.agree_block)
-    windowed = banded_ok and cfg.knn_window
+    banded_ok = banded_gate(cfg, n_pts)
+    windowed = graph_path(cfg, n_pts) == "windowed"
 
     def graph_of(feats):
         if windowed:
