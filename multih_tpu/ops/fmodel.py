@@ -292,22 +292,32 @@ def _moments_to_ata_f(mom: jax.Array):
 
 
 def _f_from_nullvec(f, params, T1g, T2g):
-    """Denormalize one candidate's unit nullspace vector back through the
-    per-candidate weighted Hartley similarities and the global
-    pre-normalization, then enforce rank 2 in the raw frame."""
+    """Enforce rank 2 on one candidate's unit nullspace vector IN THE
+    NORMALIZED FRAME (the textbook step, and what the minimal solvers
+    above do), then denormalize through the per-candidate weighted
+    Hartley similarities and the global pre-normalization.
+
+    The frame matters enormously, not cosmetically: a raw
+    pixel-coordinate F is scale-skewed (entries spanning ~6 orders), so
+    the Frobenius-nearest rank-2 matrix in the raw frame — even
+    max-abs-balanced, as this function did through round 4 — can be a
+    GEOMETRICALLY different epipolar geometry. Measured on fm2_b motion
+    1 (170 GT inliers, clean weights): raw-frame projection 6.85 px
+    median Sampson vs 0.326 px normalized-frame (float64 design-SVD
+    oracle: 0.326 px). That one bug capped every F refit the pipeline
+    made — PEARL's acceptance test then silently kept the un-refit
+    LO hypotheses instead, which is why the suite still worked at all
+    (docs/PERF.md r5 'The raw-frame rank-2 bug')."""
     s1, c1x, c1y, s2, c2x, c2y = params
     dtype = f.dtype
     T1 = jnp.matmul(geometry._similarity(s1, c1x, c1y, dtype), T1g,
                     precision=_HI)
     T2 = jnp.matmul(geometry._similarity(s2, c2x, c2y, dtype), T2g,
                     precision=_HI)
-    F = jnp.matmul(jnp.matmul(T2.T, f.reshape(3, 3), precision=_HI), T1,
+    Fn = _rank2_project(f.reshape(3, 3))
+    F = jnp.matmul(jnp.matmul(T2.T, Fn, precision=_HI), T1,
                    precision=_HI)
-    # rank-2 in a scale-balanced frame: a raw pixel-coordinate F is nearly
-    # rank-1 (epipolar.epipole's note), so project before renormalizing
-    return _canonical_f(_rank2_project(F / jnp.maximum(
-        jnp.max(jnp.abs(F)), _EPS
-    )))
+    return _canonical_f(F)
 
 
 def fundamental_refit_batch(
