@@ -20,6 +20,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from benchmarks import suite  # noqa: E402
 
 
+def _summary_json(goldens_dir):
+    spath = os.path.join(goldens_dir, "summary.json")
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            return json.load(fh)
+    return {}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
@@ -31,7 +39,19 @@ def main():
     ap.add_argument("--no-update", action="store_true",
                     help="diff against benchmarks/results/ but do not "
                          "overwrite the saved per-scene results")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="MultiHConfig field override for A/B bisects, "
+                         "e.g. --set f_exclusive_refine=False; parsed "
+                         "with ast.literal_eval (implies --no-update)")
     args = ap.parse_args()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        import ast
+
+        overrides[k] = ast.literal_eval(v)
+    if overrides:
+        args.no_update = True
 
     import jax
 
@@ -62,7 +82,7 @@ def main():
             cfg = multih_tpu.MultiHConfig(
                 max_points=npad, n_hypotheses=args.hypotheses,
                 model="fundamental", residual="sampson",
-                use_pallas=not args.no_pallas,
+                use_pallas=not args.no_pallas, **overrides,
             )
             fits[npad] = (cfg, multih_tpu.make_fit_tau(cfg))
         cfg, f = fits[npad]
@@ -89,6 +109,13 @@ def main():
             g = float(np.load(gp)["misclassification"])
             row["golden_miscls_pct"] = round(g, 3)
             row["delta_pct"] = round(row["tpu_miscls_pct"] - g, 3)
+        # third code path of the three-way table (VERDICT r4 task 4):
+        # OpenCV sequential-RANSAC peeling, tools/opencv_baseline.py
+        # --update-summary
+        ocv = _summary_json(args.goldens).get(name, {}).get(
+            "opencv_miscls_pct")
+        if ocv is not None:
+            row["opencv_miscls_pct"] = ocv
         if name in floors:
             # error relative to the scene's GT-model Potts floor
             # (benchmarks/fm_floor.py --save): the estimator-attributable

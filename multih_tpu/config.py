@@ -61,6 +61,46 @@ class MultiHConfig:
     # win pointwise on data cost and the bridge dies to the label-cost
     # prune. Measured: fm suite mean 4.91 -> lower with splits; the
     # homography path never runs this (planes cannot bridge).
+    f_exclusive_refine: bool = True
+    f_exclusive_iterations: int = 3
+    # Exclusive-core refit phase (fundamental only, r5; mirrors the
+    # oracle's PearlParams.exclusive_iterations): after split-refine,
+    # alternate {refit every active model on the Tukey-weighted members
+    # that are inside tau of NO other active model; relabel}, keeping
+    # the new configuration iff the full PEARL energy decreases. This
+    # escapes the PARTIAL-bridge fixed point: a converged F covering its
+    # own motion plus a thin slice of a neighbor's points at
+    # DEEP-inlier residuals (fm2_b: ~20 foreign points at 0.1-0.4 px).
+    # No margin or purity test can see those points (they are nowhere
+    # near the tau boundary), and member LSQ including them is a fixed
+    # point of PEARL's refit step — but they are SHARED inliers (their
+    # own motion's model also holds them inside tau), so the exclusive
+    # core drops exactly them. Energy-tested because the move is
+    # aggressive: measured on the suite, every partial-bridge
+    # configuration had HIGHER energy than its GT configuration (an
+    # optimizer gap, not an objective one); oracle suite mean
+    # 3.62 -> 2.74, fm2_b 5.0 -> 1.0 (docs/PERF.md r5 study).
+    f_resample_lo: bool = True
+    f_resample_subsets: int = 16
+    f_resample_iterations: int = 2
+    # Member-resample LO phase (fundamental only, r5; LO-RANSAC's
+    # inner-sampling step, Lebeda et al. BMVC 2012; mirrors the oracle's
+    # PearlParams.resample_iterations): after the exclusive phase,
+    # sample f_resample_subsets random 12-point subsets of each model's
+    # members, solve each (overdetermined normal-equation F), score by
+    # the TRIMMED (best-80%) member residual sum, Tukey-polish the
+    # winner, and feed the best-of-{incumbent, winner, polish} into the
+    # same energy-tested joint/sequential acceptance as the exclusive
+    # phase. Escapes the POLLUTED-BASIN fixed point the exclusive core
+    # cannot: ~10% foreign members that are NOT shared inliers of any
+    # other model stay in the exclusive core, and the weighted LSQ on
+    # that set is self-consistently off its true motion — but a random
+    # 12-subset is all-pure with ~(0.9)^12 ~ 28% odds, and trimming
+    # drops the foreign tail from the score (a capped/MSAC score would
+    # keep preferring the bridge: its foreign points are DEEP inliers).
+    # Measured on fm4_a (r5's worst parity scene): the weak model's
+    # median Sampson on its GT motion 0.62-0.77 -> 0.29 px with lost
+    # tail -> 0 in every key (docs/PERF.md r5).
     f_member_acceptance: bool = True
     # Fundamental refit acceptance counts MEMBER inliers, not global
     # (pipeline._pearl_iteration): a bridge F must be allowed to purify

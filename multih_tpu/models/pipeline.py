@@ -1434,6 +1434,267 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
             )
             energies = jnp.concatenate([energies, en2])
 
+    run_exclusive = (cfg.model == "fundamental" and cfg.f_exclusive_refine
+                     and cfg.f_exclusive_iterations > 0)
+    run_resample = (cfg.model == "fundamental" and cfg.f_resample_lo
+                    and cfg.f_resample_iterations > 0)
+    if run_exclusive or run_resample:
+        # Fundamental-model refinement phases (the oracle runs the same
+        # moves in float64 with exact expansion relabels). Both share
+        # the relabel machinery and the energy-tested joint-then-
+        # sequential acceptance: a rejected proposal leaves (Hs, q)
+        # unchanged, so the fixed trip counts are caps, not schedules.
+        #
+        # 1. EXCLUSIVE-CORE refit (config.f_exclusive_refine): escape
+        #    the partial-bridge fixed point by refitting every model on
+        #    the members no OTHER active model claims within tau.
+        # 2. MEMBER-RESAMPLE LO (config.f_resample_lo; LO-RANSAC's
+        #    inner-sampling, Lebeda et al.): escape the POLLUTED-BASIN
+        #    fixed point — a member set carrying ~10% foreign points
+        #    whose foreign part is NOT shared with any other model (so
+        #    the exclusive core keeps it, and weighted LSQ on the full
+        #    member set is self-consistently off its true motion).
+        #    Random 12-point member subsets are pure with good odds
+        #    ((0.9)^12 ~ 28%), and a pure subset's F scored by TRIMMED
+        #    member residual beats the bridge basin. Measured on fm4_a
+        #    (the r5 worst-parity scene): the weak model's median
+        #    Sampson on its GT motion 0.62-0.77 px -> 0.29 px, lost
+        #    tail 5-6 -> 0, clutter-in-band 6 -> 0-1, in every key.
+        with jax.named_scope("f_refine_phases"):
+            basis_x = _prepare_refit_basis(x1, x2, cfg)
+            use_k_x = _pallas_enabled(cfg)
+            m_min_x = 1.5 * float(cfg.minimal_points)
+
+            def _label_energy(r_e, q0):
+                dct_e = labeling.data_costs_t(
+                    r_e, valid, thr, cfg.outlier_cost, active
+                )
+                q_e = labeling.mean_field_t(
+                    dct_e, nbr_idx, nbr_w, cfg.spatial_weight,
+                    cfg.meanfield_iterations, cfg.temperature_start,
+                    cfg.temperature, q_init=q0, adj=adj,
+                    use_kernel=use_k_x,
+                )
+                lab_e = labeling.best_labeling_t(
+                    [jnp.argmax(q_e, axis=0), jnp.argmin(dct_e, axis=0)],
+                    dct_e, nbr_idx, nbr_w, cfg.spatial_weight,
+                    cfg.icm_iterations, adj=adj, use_kernel=use_k_x,
+                )
+                e = labeling.total_energy_t(
+                    lab_e, dct_e, nbr_idx, nbr_w, cfg.spatial_weight,
+                    cfg.label_cost, active, adj=adj,
+                )
+                return lab_e, q_e, e
+
+            def _accept(Hs_c, q_c, r_c, lab_c, e_c,
+                        Hs_prop, r_prop, ok_prop):
+                """Energy-tested acceptance shared by both phases.
+
+                JOINT move first, oracle-style: swap in every ok
+                proposal at once and score it under the FULL relabel
+                (fresh mean-field from the carried q + ICM). The full
+                relabel is what lets foreign points JUMP back to their
+                own motion's label in the same move that purifies the
+                bridge — an ICM-only relabel underestimates exactly
+                those proposals (measured on fm2_b: the pure-motion
+                refit improves its core's median residual 0.436 ->
+                0.379 px yet scores 175.51 vs 175.30 under ICM and is
+                rejected; the oracle's expansion relabel accepts it).
+
+                Sequential per-model fallback (one degenerate proposal
+                vetoes the joint move — measured on fm2_b, where the
+                bridge's core refit explodes while the OTHER motion's
+                exclusive refit is exactly the fix): replace one model
+                at a time, relabel lightly (ICM from the carried
+                labeling — the full mean-field refresh happens once per
+                outer iteration), keep iff the energy drops."""
+                r_j = jnp.where(ok_prop[:, None], r_prop, r_c)
+                _, q_j, e_j = _label_energy(r_j, q_c)
+                joint_ok = e_j < e_c
+
+                def _model_step(c2, i):
+                    Hs_s, r_s, lab_s, e_s = c2
+                    Hn = jnp.where(ok_prop[i], Hs_prop[i], Hs_s[i])
+                    r_n = r_s.at[i].set(
+                        model_residual_matrix(
+                            Hn[None], x1, x2, cfg.residual, cfg
+                        )[0]
+                    )
+                    dct_n = labeling.data_costs_t(
+                        r_n, valid, thr, cfg.outlier_cost, active
+                    )
+                    lab_n = labeling.best_labeling_t(
+                        [lab_s, jnp.argmin(dct_n, axis=0)],
+                        dct_n, nbr_idx, nbr_w, cfg.spatial_weight,
+                        cfg.icm_iterations, adj=adj, use_kernel=use_k_x,
+                    )
+                    e_n = labeling.total_energy_t(
+                        lab_n, dct_n, nbr_idx, nbr_w, cfg.spatial_weight,
+                        cfg.label_cost, active, adj=adj,
+                    )
+                    better = e_n < e_s
+                    return (
+                        Hs_s.at[i].set(jnp.where(better, Hn, Hs_s[i])),
+                        jnp.where(better, r_n, r_s),
+                        jnp.where(better, lab_n, lab_s),
+                        jnp.where(better, e_n, e_s),
+                    ), None
+
+                def _joint(_):
+                    Hs_j = jnp.where(
+                        ok_prop[:, None, None], Hs_prop, Hs_c
+                    )
+                    return Hs_j, q_j
+
+                def _sequential(_):
+                    (Hs_s, _, _, _), _ = jax.lax.scan(
+                        _model_step, (Hs_c, r_c, lab_c, e_c),
+                        jnp.arange(k)
+                    )
+                    return Hs_s, q_c
+
+                return jax.lax.cond(joint_ok, _joint, _sequential,
+                                    operand=None)
+
+            def _exclusive_body(_, carry):
+                Hs_c, q_c = carry
+                r_c = model_residual_matrix(
+                    Hs_c, x1, x2, cfg.residual, cfg
+                )
+                lab_c, q_c, e_c = _label_energy(r_c, q_c)
+                inl = (r_c < thr).astype(x1.dtype) * valid[None, :]
+                n_in = jnp.sum(inl * active[:, None], axis=0)  # (N,)
+                member_c = (
+                    lab_c[None, :] == jnp.arange(k)[:, None]
+                ).astype(x1.dtype) * valid[None, :]
+                rr_c = jnp.clip(r_c / thr, 0.0, 1.0)
+                w_x = (member_c * inl * (n_in == 1.0)
+                       * (1.0 - rr_c) ** 2)                    # (K, N)
+                core = (w_x > 0).astype(x1.dtype)
+                n_core = jnp.sum(core, axis=1)
+                Hs_prop = _refit_batch(w_x, basis_x, cfg)
+                r_prop = model_residual_matrix(
+                    Hs_prop, x1, x2, cfg.residual, cfg
+                )
+                # degeneracy guard: an exclusive core can be small and
+                # quasi-degenerate (the bridge keeps most of the
+                # overlap), and its LSQ can explode — require the
+                # proposal to keep >= 80% of its own core inside tau
+                # before it is even energy-tested
+                cov_core = jnp.sum(
+                    (r_prop < thr).astype(x1.dtype) * core, axis=1
+                ) / jnp.maximum(n_core, 1.0)
+                ok_prop = (
+                    (n_core >= m_min_x) & (cov_core >= 0.8)
+                    & jnp.all(jnp.isfinite(Hs_prop.reshape(k, -1)),
+                              axis=1)
+                    & (active > 0)
+                )
+                return _accept(Hs_c, q_c, r_c, lab_c, e_c,
+                               Hs_prop, r_prop, ok_prop)
+
+            if run_exclusive:
+                Hs, q = jax.lax.fori_loop(
+                    0, cfg.f_exclusive_iterations, _exclusive_body,
+                    (Hs, q)
+                )
+
+            def _trimmed_cost(r_like, member_f, t_idx):
+                """(.., N) residuals -> trimmed member cost: sum of the
+                smallest 80% of each model's member residuals. Trimming
+                (not tau-capping) is load-bearing: a bridge's foreign
+                points are DEEP inliers, so a capped/MSAC score still
+                prefers the bridge; dropping the worst 20% of members
+                scores the pure-motion fit on its own points only."""
+                big = jnp.asarray(1e9, r_like.dtype)
+                r_m = jnp.where(member_f > 0, r_like, big)
+                csum = jnp.cumsum(jnp.sort(r_m, axis=-1), axis=-1)
+                return jnp.take_along_axis(
+                    csum, jnp.broadcast_to(t_idx, csum.shape[:-1])[
+                        ..., None], axis=-1
+                )[..., 0]
+
+            def _resample_body(it, carry):
+                Hs_c, q_c = carry
+                r_c = model_residual_matrix(
+                    Hs_c, x1, x2, cfg.residual, cfg
+                )
+                lab_c, q_c, e_c = _label_energy(r_c, q_c)
+                member_c = (
+                    lab_c[None, :] == jnp.arange(k)[:, None]
+                ).astype(x1.dtype) * valid[None, :]          # (K, N)
+                n_mem = jnp.sum(member_c, axis=1)
+                m_pts = 12  # overdetermined small-sample solve
+                s_sub = cfg.f_resample_subsets
+                # S uniform 12-subsets of each model's members
+                # (gumbel-top-k = weighted sampling w/o replacement)
+                g = jax.random.gumbel(
+                    jax.random.fold_in(key_x, it), (k, s_sub, n_pts),
+                    dtype=x1.dtype,
+                )
+                logits = jnp.where(
+                    member_c[:, None, :] > 0, g, -jnp.inf
+                )
+                _, idx = jax.lax.top_k(logits, m_pts)  # (K, S, 12)
+                Fs_cand, ok_solve = _solve_minimal_f(
+                    x1, x2, valid, idx.reshape(k * s_sub, m_pts), cfg
+                )
+                r_cand = model_residual_matrix(
+                    Fs_cand, x1, x2, cfg.residual, cfg
+                ).reshape(k, s_sub, n_pts)
+                t_idx = jnp.maximum(
+                    (0.8 * n_mem).astype(jnp.int32) - 1, 0
+                )  # (K,)
+                cost_cand = _trimmed_cost(
+                    r_cand, member_c[:, None, :], t_idx[:, None]
+                )  # (K, S)
+                cost_cand = jnp.where(
+                    ok_solve.reshape(k, s_sub) > 0, cost_cand, jnp.inf
+                )
+                best_s = jnp.argmin(cost_cand, axis=1)       # (K,)
+                F_best = Fs_cand.reshape(k, s_sub, 3, 3)[
+                    jnp.arange(k), best_s]
+                cost_best = cost_cand[jnp.arange(k), best_s]
+                # one Tukey refit of the winning candidate on the
+                # members it holds inside tau (the LO polish step)
+                r_best = model_residual_matrix(
+                    F_best, x1, x2, cfg.residual, cfg
+                )
+                w_t = member_c * jnp.maximum(
+                    0.0, 1.0 - jnp.clip(r_best / thr, 0.0, 1.0)
+                ) ** 2
+                F_ref = _refit_batch(w_t, basis_x, cfg)
+                r_ref = model_residual_matrix(
+                    F_ref, x1, x2, cfg.residual, cfg
+                )
+                cost_ref = _trimmed_cost(r_ref, member_c, t_idx)
+                cost_ref = jnp.where(
+                    jnp.all(jnp.isfinite(F_ref.reshape(k, -1)), axis=1),
+                    cost_ref, jnp.inf,
+                )
+                cost_inc = _trimmed_cost(r_c, member_c, t_idx)
+                take_ref = cost_ref < cost_best
+                Hs_prop = jnp.where(take_ref[:, None, None],
+                                    F_ref, F_best)
+                r_prop = jnp.where(take_ref[:, None], r_ref, r_best)
+                cost_prop = jnp.minimum(cost_ref, cost_best)
+                ok_prop = (
+                    (n_mem >= jnp.maximum(float(m_pts), m_min_x))
+                    & (cost_prop < cost_inc) & (active > 0)
+                    & jnp.all(jnp.isfinite(Hs_prop.reshape(k, -1)),
+                              axis=1)
+                )
+                return _accept(Hs_c, q_c, r_c, lab_c, e_c,
+                               Hs_prop, r_prop, ok_prop)
+
+            if run_resample:
+                key_x = jax.random.fold_in(key, 0x7e5a)
+                n_pts = x1.shape[0]
+                Hs, q = jax.lax.fori_loop(
+                    0, cfg.f_resample_iterations, _resample_body,
+                    (Hs, q)
+                )
+
     # final hard assignment (same two-start scheme as the loop)
     with jax.named_scope("finalize"):
         r = model_residual_matrix(Hs, x1, x2, cfg.residual, cfg)

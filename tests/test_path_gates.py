@@ -160,3 +160,9 @@ class TestGateKnobs:
         cfg = cfg_of(model="fundamental", residual="sampson",
                      window_sampling=False)
         assert cfg.f_exclusive_refine and cfg.f_exclusive_iterations > 0
+
+    def test_resample_lo_defaults_on_for_f(self):
+        cfg = cfg_of(model="fundamental", residual="sampson",
+                     window_sampling=False)
+        assert cfg.f_resample_lo and cfg.f_resample_iterations > 0
+        assert cfg.f_resample_subsets >= 8
