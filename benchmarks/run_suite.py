@@ -145,6 +145,12 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    spath = os.path.join(args.goldens, "summary.json")
+    _summary = {}
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            _summary = json.load(fh)
+
     scenes = suite.scenes()
     if args.per_pair:
         rows, timing = run_per_pair(args, scenes)
@@ -157,6 +163,11 @@ def main():
             golden_err = float(np.load(golden_path)["misclassification"])
             row["golden_miscls_pct"] = round(golden_err, 3)
             row["delta_pct"] = round(row["tpu_miscls_pct"] - golden_err, 3)
+        # third code path of the three-way table (VERDICT r4 task 4):
+        # OpenCV sequential-RANSAC peeling, tools/opencv_baseline.py
+        ocv = _summary.get(row["scene"], {}).get("opencv_miscls_pct")
+        if ocv is not None:
+            row["opencv_miscls_pct"] = ocv
         print(json.dumps(row))
 
     errs = [r["tpu_miscls_pct"] for r in rows]
