@@ -405,3 +405,185 @@ class TestFModelOnDevice:
         # and even tail samples stay geometrically equivalent
         assert np.median(errs) < 1e-3, np.median(errs)
         assert np.mean(errs < 1e-2) > 0.95, (errs.mean(), errs.max())
+
+
+class TestFusedFrontOnDevice:
+    """Round-5 entry (VERDICT r4 task 5): `mean_field_fused_front` — the
+    residual + data-cost + mean-field chain as ONE Pallas launch — had
+    only CPU interpret-mode tests. This compares it on-device against
+    the exact unfused chain `_pearl_iteration` would otherwise run."""
+
+    @pytest.mark.parametrize("kind", ["symmetric", "transfer"])
+    def test_fused_front_matches_unfused_chain(self, kind):
+        import multih_tpu
+        from multih_tpu.utils import data
+
+        cfg = multih_tpu.MultiHConfig(
+            max_points=512, n_hypotheses=256, max_labels=8,
+            residual=kind,
+        )
+        cs, _ = data.synthetic_scene(480, 3, 0.1, 0.5, seed=21)
+        x1, x2, valid, _ = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+        )
+        x1, x2, valid = map(jnp.asarray, (x1, x2, valid))
+        perm = pipeline.morton_order(x1, valid)
+        x1, x2, valid = x1[perm], x2[perm], valid[perm]
+        nbr_idx, nbr_w = labeling.knn_graph_windowed(
+            x1, valid, cfg.knn_k, cfg.agree_block
+        )
+        adj = labeling.build_banded_adjacency(
+            nbr_idx, nbr_w, cfg.agree_block, far_capacity=0
+        )
+        assert pipeline.fused_front_gate(
+            multih_tpu.MultiHConfig(
+                max_points=512, n_hypotheses=256, max_labels=8,
+                residual=kind, mrf_fused_front=True,
+            ), adj, has_pt_mesh=False,
+        )
+        rng = np.random.default_rng(3)
+        k = cfg.max_labels
+        Hs = _random_hs(rng, k)
+        active = jnp.ones((k,), jnp.float32).at[-2:].set(0.0)
+        thr = jnp.asarray(cfg.inlier_threshold**2, jnp.float32)
+        q0 = jnp.full((k + 1, x1.shape[0]), 1.0 / (k + 1), jnp.float32)
+
+        @jax.jit
+        def fused(x1, x2, valid, Hs, q0):
+            return labeling.pearl_relax_fused(
+                x1, x2, valid, Hs, active, thr, cfg.outlier_cost,
+                cfg.spatial_weight, cfg.meanfield_iterations,
+                cfg.temperature_start, cfg.temperature, q0, adj,
+                kind=kind,
+            )
+
+        @jax.jit
+        def unfused(x1, x2, valid, Hs, q0):
+            r = pipeline.model_residual_matrix(Hs, x1, x2, kind, cfg)
+            dct = labeling.data_costs_t(
+                r, valid, thr, cfg.outlier_cost, active
+            )
+            q = labeling.mean_field_t(
+                dct, nbr_idx, nbr_w, cfg.spatial_weight,
+                cfg.meanfield_iterations, cfg.temperature_start,
+                cfg.temperature, q_init=q0, adj=adj, use_kernel=True,
+            )
+            return q, dct, r
+
+        q_f, dct_f, r_f = jax.block_until_ready(
+            fused(x1, x2, valid, Hs, q0))
+        q_u, dct_u, r_u = jax.block_until_ready(
+            unfused(x1, x2, valid, Hs, q0))
+        # residuals: same math, fused computes in the kernel's load pass
+        np.testing.assert_allclose(
+            np.asarray(r_f), np.asarray(r_u), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dct_f), np.asarray(dct_u), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_f), np.asarray(q_u), rtol=0, atol=1e-4
+        )
+        lab_same = (np.argmax(np.asarray(q_f), 0)
+                    == np.argmax(np.asarray(q_u), 0))
+        assert lab_same.mean() > 0.999, lab_same.mean()
+
+
+class TestFundamentalFitCpuTpuAgreement:
+    """Round-5 entry: the FULL fundamental fit — split-refine, exclusive-
+    core and member-resample-LO phases included — on TPU (Pallas paths)
+    vs the CPU backend (jnp reference paths)."""
+
+    def test_motion_labels_agree_across_backends(self):
+        import dataclasses
+
+        import multih_tpu
+        from multih_tpu.utils import data, evaluation
+
+        cfg = multih_tpu.MultiHConfig(
+            max_points=512, n_hypotheses=2048, model="fundamental",
+            residual="sampson", inlier_threshold=3.0,
+        )
+        cs, _ = data.synthetic_motion_scene(480, 3, 0.15, 0.5, seed=8)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg.max_points
+        )
+        res_t = jax.jit(
+            lambda a, b, v, k: pipeline.fit(a, b, v, k, cfg)
+        )(x1, x2, valid, jax.random.key(0))
+        lab_t = np.asarray(res_t.labels)[: cs.n_points]
+        cfg_c = dataclasses.replace(cfg, use_pallas=False)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            res_c = jax.jit(
+                lambda a, b, v, k: pipeline.fit(a, b, v, k, cfg_c)
+            )(jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+              jax.random.key(0))
+            lab_c = np.asarray(res_c.labels)[: cs.n_points]
+        err_t = evaluation.misclassification_error(
+            lab_t, cs.gt_labels, cfg.max_labels
+        )
+        err_c = evaluation.misclassification_error(
+            lab_c, cs.gt_labels, cfg.max_labels
+        )
+        agree = 100.0 - evaluation.misclassification_error(
+            lab_t, lab_c, cfg.max_labels, gt_outlier=cfg.max_labels
+        )
+        print(f"\nF-model TPU miscls {err_t:.2f}%  CPU {err_c:.2f}%  "
+              f"agreement {agree:.2f}%")
+        # motion-suite bar, not the homography one (1-D constraints)
+        assert err_t < 8.0, err_t
+        assert agree >= 95.0, agree
+
+
+class TestMixedFitCpuTpuAgreement:
+    """Round-5 entry: the mixed plane+motion fit (models/mixed.py) on
+    TPU vs the CPU backend."""
+
+    def test_mixed_labels_agree_across_backends(self):
+        import dataclasses
+
+        import multih_tpu
+        from multih_tpu.models import mixed
+        from multih_tpu.utils import data, evaluation
+
+        cfg_h = multih_tpu.MultiHConfig(
+            max_points=640, n_hypotheses=2048, max_labels=8,
+        )
+        cfg_f = multih_tpu.MultiHConfig(
+            max_points=640, n_hypotheses=2048, max_labels=8,
+            model="fundamental", residual="sampson",
+            inlier_threshold=3.0,
+        )
+        cs, _, _ = data.synthetic_mixed_scene(600, 2, 1, 0.1, 0.5,
+                                              seed=4)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        k_union = cfg_h.max_labels + cfg_f.max_labels
+        res_t = mixed.make_fit_mixed(cfg_h, cfg_f)(
+            x1, x2, valid, jax.random.key(0)
+        )
+        lab_t = np.asarray(res_t.labels)[: cs.n_points]
+        cfg_hc = dataclasses.replace(cfg_h, use_pallas=False)
+        cfg_fc = dataclasses.replace(cfg_f, use_pallas=False)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            res_c = mixed.make_fit_mixed(cfg_hc, cfg_fc)(
+                jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+                jax.random.key(0)
+            )
+            lab_c = np.asarray(res_c.labels)[: cs.n_points]
+        err_t = evaluation.misclassification_error(
+            lab_t, cs.gt_labels, k_union
+        )
+        err_c = evaluation.misclassification_error(
+            lab_c, cs.gt_labels, k_union
+        )
+        agree = 100.0 - evaluation.misclassification_error(
+            lab_t, lab_c, k_union, gt_outlier=k_union
+        )
+        print(f"\nmixed TPU miscls {err_t:.2f}%  CPU {err_c:.2f}%  "
+              f"agreement {agree:.2f}%")
+        assert err_t < 8.0, err_t
+        assert agree >= 95.0, agree
