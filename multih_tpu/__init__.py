@@ -8,7 +8,15 @@ alternating optimization — designed TPU-first, not translated.
 """
 
 from multih_tpu.config import MultiHConfig, DEFAULT
-from multih_tpu.models.mixed import MixedFitResult, fit_mixed, make_fit_mixed
+from multih_tpu.models.mixed import (
+    MixedFitResult,
+    estimate_tau_mixed,
+    fit_mixed,
+    fit_mixed_adaptive,
+    make_fit_mixed,
+    make_fit_mixed_adaptive,
+    make_fit_mixed_tau,
+)
 from multih_tpu.models.pipeline import (
     FitResult,
     estimate_tau,
@@ -27,9 +35,16 @@ __all__ = [
     "MultiHConfig",
     "DEFAULT",
     "FitResult",
+    "MixedFitResult",
     "estimate_tau",
+    "estimate_tau_mixed",
     "fit",
     "fit_adaptive",
+    "fit_mixed",
+    "fit_mixed_adaptive",
+    "make_fit_mixed",
+    "make_fit_mixed_adaptive",
+    "make_fit_mixed_tau",
     "make_fit",
     "make_fit_adaptive",
     "make_fit_seeded",

@@ -122,14 +122,12 @@ def _setup_jax(platform):
 def _fit_one_mixed(cs, args):
     """The `--model mixed` CLI path: plane stage + motion stage + joint
     polish in one XLA program (models/mixed.py). Restarts keep the
-    lowest joint-energy result; --adaptive-tau is a single-class
-    calibration and is rejected here."""
+    lowest joint-energy result; --adaptive-tau self-calibrates one
+    threshold PER CLASS (tau_h from plane members under the transfer
+    residual, tau_f from motion members under the epipolar one —
+    mixed.estimate_tau_mixed) and freezes both for the restarts."""
     import numpy as np
 
-    if getattr(args, "adaptive_tau", False):
-        print("--adaptive-tau is not supported with --model mixed "
-              "(per-class thresholds; pass --threshold)", file=sys.stderr)
-        sys.exit(2)
     args.n_points_hint = cs.n_points
     args.model = "homography"
     cfg_h = _build_config(args)
@@ -153,22 +151,53 @@ def _fit_one_mixed(cs, args):
             cs.x1, cs.x2, None, cfg_h.max_points
         )
         gt = None
+    adaptive = getattr(args, "adaptive_tau", False)
     if getattr(args, "aot", False):
         from multih_tpu.utils import aot
 
-        f = aot.cached_fit_mixed(cfg_h, cfg_f)
+        def _mk(kind):
+            return aot.cached_fit_mixed(cfg_h, cfg_f, kind=kind)
     else:
-        f = mixed.make_fit_mixed(cfg_h, cfg_f)
+        def _mk(kind):
+            return {
+                "fit": mixed.make_fit_mixed,
+                "fit_tau": mixed.make_fit_mixed_tau,
+                "fit_adaptive": mixed.make_fit_mixed_adaptive,
+            }[kind](cfg_h, cfg_f)
+    if adaptive:
+        f_ad = _mk("fit_adaptive")
+
+        def f(x1_, x2_, v_, k_):
+            r_, th_, tf_ = f_ad(x1_, x2_, v_, k_)
+            return r_, (th_, tf_)
+    else:
+        f_fix = _mk("fit")
+
+        def f(x1_, x2_, v_, k_):
+            return f_fix(x1_, x2_, v_, k_), None
     t0 = time.perf_counter()
-    res = f(x1, x2, valid, jax.random.key(args.seed))
+    res, taus = f(x1, x2, valid, jax.random.key(args.seed))
     jax.block_until_ready(res.labels)
     t_total = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = f(x1, x2, valid, jax.random.key(args.seed + 1))
+    res, taus = f(x1, x2, valid, jax.random.key(args.seed + 1))
     jax.block_until_ready(res.labels)
     t_warm = time.perf_counter() - t0
+    # restarts under frozen per-class taus — each pass re-calibrating
+    # would make the joint energies incomparable (same rationale as the
+    # single-class path)
+    if args.restarts > 1 and adaptive:
+        f_tau = _mk("fit_tau")
+
+        def f_restart(x1_, x2_, v_, k_, taus_):
+            return f_tau(x1_, x2_, v_, k_, *taus_)
+    else:
+        def f_restart(x1_, x2_, v_, k_, _taus):
+            return f(x1_, x2_, v_, k_)[0]
     for r in range(1, max(args.restarts, 1)):
-        cand = f(x1, x2, valid, jax.random.key(args.seed + 7919 * r))
+        cand = f_restart(
+            x1, x2, valid, jax.random.key(args.seed + 7919 * r), taus
+        )
         if float(np.asarray(cand.energy)) < float(np.asarray(res.energy)):
             res = cand
 
@@ -189,6 +218,9 @@ def _fit_one_mixed(cs, args):
         "time_total_s": round(t_total, 4),
         "time_warm_s": round(t_warm, 4),
     }
+    if taus is not None:
+        out["tau_h"] = round(float(np.asarray(taus[0])), 3)
+        out["tau_f"] = round(float(np.asarray(taus[1])), 3)
     if gt is not None:
         out["misclassification_pct"] = evaluation.misclassification_error(
             labels, gt[: cs.n_points], k_union
@@ -205,6 +237,9 @@ def _fit_one_mixed(cs, args):
               f"support: {out['support_planes']}")
         print(f"motions found: {out['n_motions_found']}  "
               f"support: {out['support_motions']}")
+        if "tau_h" in out:
+            print(f"calibrated tau_h: {out['tau_h']:.2f} px  "
+                  f"tau_f: {out['tau_f']:.2f} px")
         if "misclassification_pct" in out:
             print(f"misclassification: {out['misclassification_pct']:.2f}%")
         print(f"energy: {out['energy']:.2f}  warm latency: "

@@ -324,6 +324,103 @@ def fit_mixed(x1, x2, valid, key, cfg_h: MultiHConfig,
     )
 
 
+def _per_model_sigma(r, labels, valid, k, factor, min_inliers):
+    """Per-model noise estimates from one probe fit: for each of the k
+    models, the median squared own-member residual scaled by the
+    measured median factor (`pipeline._noise_median_factor`). Returns
+    (sigma (k,), qualified (k,) bool) — a model qualifies if it holds at
+    least min_inliers members."""
+    mem = (labels[None, :] == jnp.arange(k)[:, None]) & (valid[None, :] > 0)
+    cnt = jnp.sum(mem.astype(jnp.int32), axis=1)
+    vals = jnp.sort(jnp.where(mem, r, jnp.inf), axis=1)
+    med = jnp.take_along_axis(
+        vals, jnp.maximum(cnt // 2, 0)[:, None], axis=1
+    )[:, 0]
+    sigma = jnp.sqrt(jnp.maximum(med, 1e-12) / factor)
+    return sigma, cnt >= min_inliers
+
+
+def estimate_tau_mixed(res_h, res_f, x1, x2, valid, cfg_h: MultiHConfig,
+                       cfg_f: MultiHConfig):
+    """Per-class noise-adaptive thresholds (tau_h, tau_f) from two
+    SINGLE-CLASS probe fits (one per class, each on all points).
+
+    Why not probe the mixed fit itself (the obvious two-pass analog of
+    `pipeline.fit_adaptive`): at a generous probe tau_f the F stage
+    legitimately claims plane points (every H-inlier is F-consistent —
+    the containment asymmetry in the module docstring), the polish then
+    collapses the starved planes, and the calibration inherits a
+    destroyed segmentation it cannot see past (measured: a merged-plane
+    probe reports sigma ~= 1.0 px regardless of the true 0.2-1.0).
+
+    The estimator instead exploits that the correspondence noise sigma
+    is SHARED between the classes — the same pixel jitter generates
+    both residual populations, only the scale factor differs (5.85
+    sigma^2 for the 2-D transfer median vs 0.466 for 1-D Sampson). Each
+    probe model with >= min_inliers members yields one sigma estimate;
+    merged planes and bridging Fs OVER-estimate (their members include
+    another structure's points), clean models estimate correctly — so
+    the minimum over all models of BOTH classes is robust as long as
+    either probe recovers one clean structure (measured on the mixed
+    suite: the min lands within 20% of the true sigma on every scene,
+    where the pooled-median mixed-probe estimate was off by up to 5x).
+    tau_c = 6 sigma with per-class floor/caps; with no qualifying model
+    anywhere (e.g. an all-outlier scene) both configs' static
+    thresholds are returned."""
+    r_h = geometry.residual_matrix(
+        res_h.homographies, x1, x2, cfg_h.residual
+    )
+    s_h, ok_h = _per_model_sigma(
+        r_h, res_h.labels, valid, cfg_h.max_labels,
+        pipeline._noise_median_factor(cfg_h), cfg_h.min_inliers,
+    )
+    r_f = fmodel.residual_matrix_f(
+        res_f.homographies, x1, x2, cfg_f.residual
+    )
+    s_f, ok_f = _per_model_sigma(
+        r_f, res_f.labels, valid, cfg_f.max_labels,
+        pipeline._noise_median_factor(cfg_f), cfg_f.min_inliers,
+    )
+    s = jnp.concatenate([s_h, s_f])
+    ok = jnp.concatenate([ok_h, ok_f])
+    sigma = jnp.min(jnp.where(ok, s, jnp.inf))
+    any_ok = jnp.any(ok)
+    tau_h = jnp.where(
+        any_ok, jnp.clip(6.0 * sigma, 3.0, 12.0),
+        jnp.asarray(cfg_h.inlier_threshold, x1.dtype),
+    )
+    tau_f = jnp.where(
+        any_ok, jnp.clip(6.0 * sigma, 1.5, 9.0),
+        jnp.asarray(cfg_f.inlier_threshold, x1.dtype),
+    )
+    return tau_h.astype(x1.dtype), tau_f.astype(x1.dtype)
+
+
+def fit_mixed_adaptive(x1, x2, valid, key, cfg_h: MultiHConfig,
+                       cfg_f: MultiHConfig, probe_tau_h: float = 8.0,
+                       probe_tau_f: float = 6.0, **mixed_kwargs):
+    """Two-pass mixed fit with self-calibrated PER-CLASS thresholds: one
+    single-class probe per class at a generous tau, a shared-noise
+    estimate from the per-model residual medians of both probes
+    (`estimate_tau_mixed` — see there for why the probe must be
+    single-class), then the real mixed fit at tau_c = 6 sigma. Probes,
+    calibration, and fit trace into ONE XLA program (taus are traced —
+    no recompile). Returns (MixedFitResult, tau_h, tau_f)."""
+    k_h, k_f, k_fit = jax.random.split(key, 3)
+    with jax.named_scope("mixed_probe_h"):
+        res_h0 = pipeline.fit(x1, x2, valid, k_h, cfg_h,
+                              tau=jnp.asarray(probe_tau_h, x1.dtype))
+    with jax.named_scope("mixed_probe_f"):
+        res_f0 = pipeline.fit(x1, x2, valid, k_f, cfg_f,
+                              tau=jnp.asarray(probe_tau_f, x1.dtype))
+    tau_h, tau_f = estimate_tau_mixed(
+        res_h0, res_f0, x1, x2, valid, cfg_h, cfg_f
+    )
+    res = fit_mixed(x1, x2, valid, k_fit, cfg_h, cfg_f,
+                    tau_h=tau_h, tau_f=tau_f, **mixed_kwargs)
+    return res, tau_h, tau_f
+
+
 _MIXED_CACHE: dict = {}
 
 
@@ -340,6 +437,51 @@ def make_fit_mixed(cfg_h: MultiHConfig, cfg_f: MultiHConfig,
             lambda x1, x2, valid, key: fit_mixed(
                 x1, x2, valid, key, cfg_h, cfg_f, f_bias,
                 polish_meanfield, polish_icm, f_scope=f_scope,
+                polish_refits=polish_refits,
+            )
+        )
+    return _MIXED_CACHE[key_t]
+
+
+def make_fit_mixed_tau(cfg_h: MultiHConfig, cfg_f: MultiHConfig,
+                       f_bias: float = 0.5, polish_meanfield: int = 4,
+                       polish_icm: int = 2, f_scope: str = "all",
+                       polish_refits: int = 2):
+    """Jitted mixed fit taking (tau_h, tau_f) as *traced* px thresholds —
+    one executable serves any threshold pair (restarts under frozen
+    auto-calibrated taus, per-class sweeps). Cached per config."""
+    key_t = ("tau", cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm,
+             f_scope, polish_refits)
+    if key_t not in _MIXED_CACHE:
+        _MIXED_CACHE[key_t] = jax.jit(
+            lambda x1, x2, valid, key, tau_h, tau_f: fit_mixed(
+                x1, x2, valid, key, cfg_h, cfg_f, f_bias,
+                polish_meanfield, polish_icm, tau_h=tau_h, tau_f=tau_f,
+                f_scope=f_scope, polish_refits=polish_refits,
+            )
+        )
+    return _MIXED_CACHE[key_t]
+
+
+def make_fit_mixed_adaptive(cfg_h: MultiHConfig, cfg_f: MultiHConfig,
+                            f_bias: float = 0.5,
+                            polish_meanfield: int = 4,
+                            polish_icm: int = 2, f_scope: str = "all",
+                            polish_refits: int = 2,
+                            probe_tau_h: float = 8.0,
+                            probe_tau_f: float = 6.0):
+    """Jitted two-pass per-class adaptive-threshold mixed fit:
+    (x1, x2, valid, key) -> (MixedFitResult, tau_h, tau_f)."""
+    key_t = ("adaptive", cfg_h, cfg_f, f_bias, polish_meanfield,
+             polish_icm, f_scope, polish_refits, probe_tau_h,
+             probe_tau_f)
+    if key_t not in _MIXED_CACHE:
+        _MIXED_CACHE[key_t] = jax.jit(
+            lambda x1, x2, valid, key: fit_mixed_adaptive(
+                x1, x2, valid, key, cfg_h, cfg_f,
+                probe_tau_h=probe_tau_h, probe_tau_f=probe_tau_f,
+                f_bias=f_bias, polish_meanfield=polish_meanfield,
+                polish_icm=polish_icm, f_scope=f_scope,
                 polish_refits=polish_refits,
             )
         )

@@ -1733,16 +1733,54 @@ def fit(x1, x2, valid, key, cfg: MultiHConfig,
     )
 
 
+def _noise_median_factor(cfg: MultiHConfig) -> float:
+    """median(r^2 of true members) / sigma^2 for the configured model
+    class + residual kind — scale-free, measured on synthetic scenes
+    across sigma in {0.25, 0.5, 1, 2} px (std <= 7% of the mean in every
+    cell). Homography symmetric transfer: 5.85 (the original
+    calibration); fundamental Sampson: 0.466 (a first-order 1-D
+    distance, ~ the chi^2_1 median 0.455 with mild geometry
+    amplification); fundamental symmetric epipolar: 1.874 (two 1-D
+    distances, correlated)."""
+    if cfg.model == "fundamental":
+        return 1.874 if cfg.residual == "symmetric" else 0.466
+    return 5.85
+
+
+def tau_from_members(r_own, is_member, cfg: MultiHConfig, dtype,
+                     floor=None, cap=None):
+    """tau = 6 sigma from the median squared own-model residual of the
+    given members (the working threshold rule, docs/USAGE.md), via the
+    measured per-model-class median factor. Falls back to the config's
+    static tau when fewer than min_inliers members exist. Shared by the
+    single-class `estimate_tau` and the mixed per-class estimator
+    (models/mixed.py)."""
+    if floor is None:
+        floor = 1.5 if cfg.model == "fundamental" else 3.0
+    if cap is None:
+        cap = 9.0 if cfg.model == "fundamental" else 12.0
+    vals = jnp.where(is_member, r_own, jnp.inf)
+    n_m = jnp.sum(is_member.astype(jnp.int32))
+    med = jnp.sort(vals)[jnp.maximum(n_m // 2, 0)]
+    tau = jnp.sqrt(36.0 / _noise_median_factor(cfg)
+                   * jnp.maximum(med, 1e-6))
+    tau = jnp.clip(tau, floor, cap)
+    return jnp.where(n_m >= cfg.min_inliers, tau,
+                     jnp.asarray(cfg.inlier_threshold, dtype))
+
+
 def estimate_tau(res: FitResult, x1, x2, valid, cfg: MultiHConfig,
-                 floor: float = 3.0, cap: float = 12.0):
+                 floor=None, cap=None):
     """Noise-adaptive inlier threshold from a previous fit.
 
-    The median squared symmetric-transfer residual of plane members is
-    5.85 * sigma^2 across noise levels (measured on synthetic scenes, the
-    factor is scale-free), and the working threshold rule is tau = 6 sigma
-    (docs/USAGE.md) — so tau = sqrt(36/5.85 * median). Members of inactive
-    planes and padded points are excluded; with no members the config's
-    static tau is returned.
+    The median squared residual of true members is a scale-free multiple
+    of sigma^2 (`_noise_median_factor`: 5.85 for homography symmetric
+    transfer, 0.466 / 1.874 for fundamental Sampson / symmetric), and
+    the working threshold rule is tau = 6 sigma (docs/USAGE.md) — so
+    tau = sqrt(36/factor * median). Members of inactive models and
+    padded points are excluded; with no members the config's static tau
+    is returned. floor/cap default per model class: (3, 12) px for
+    homographies, (1.5, 9) for fundamental matrices.
     """
     k = cfg.max_labels
     r = model_residual_matrix(res.homographies, x1, x2, cfg.residual,
@@ -1752,13 +1790,7 @@ def estimate_tau(res: FitResult, x1, x2, valid, cfg: MultiHConfig,
     r_own = jnp.take_along_axis(
         r.T, jnp.clip(lab, 0, k - 1)[:, None], axis=1
     )[:, 0]
-    vals = jnp.where(is_member, r_own, jnp.inf)
-    n_m = jnp.sum(is_member.astype(jnp.int32))
-    med = jnp.sort(vals)[jnp.maximum(n_m // 2, 0)]
-    tau = jnp.sqrt(36.0 / 5.85 * jnp.maximum(med, 1e-6))
-    tau = jnp.clip(tau, floor, cap)
-    return jnp.where(n_m >= cfg.min_inliers, tau,
-                     jnp.asarray(cfg.inlier_threshold, x1.dtype))
+    return tau_from_members(r_own, is_member, cfg, x1.dtype, floor, cap)
 
 
 def fit_adaptive(x1, x2, valid, key, cfg: MultiHConfig,

@@ -179,11 +179,12 @@ def cached_fit(cfg, kind: str = "fit", cache_dir: str | None = None,
 # ---------------------------------------------------------------------------
 
 def cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
-                    polish_icm, f_scope="all") -> str:
+                    polish_icm, f_scope="all", kind="fit") -> str:
     import jax
 
     sig = "|".join([
-        _STAMP, jax.__version__, jax.default_backend(), "fit_mixed",
+        _STAMP, jax.__version__, jax.default_backend(),
+        "fit_mixed" if kind == "fit" else f"fit_mixed_{kind[4:]}",
         repr(cfg_h), repr(cfg_f),
         repr((f_bias, polish_meanfield, polish_icm, f_scope)),
     ])
@@ -193,10 +194,13 @@ def cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
 def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.5,
                      polish_meanfield: int = 4, polish_icm: int = 2,
                      cache_dir: str | None = None,
-                     save_on_miss: bool = True, f_scope: str = "all"):
+                     save_on_miss: bool = True, f_scope: str = "all",
+                     kind: str = "fit"):
     """Mixed-fit analog of `cached_fit`: load-or-export the two-stage +
-    joint-polish program (models/mixed.py). Same fallback semantics —
-    any miss or incompatibility returns the plain jitted fit."""
+    joint-polish program (models/mixed.py). kind selects the variant:
+    "fit" (fixed taus), "fit_tau" (traced tau_h/tau_f), "fit_adaptive"
+    (two-pass per-class calibration). Same fallback semantics — any miss
+    or incompatibility returns the plain jitted fit."""
     import jax
     from jax import export as jexport
     import jax.numpy as jnp
@@ -206,7 +210,12 @@ def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.5,
     cache_dir = cache_dir or default_cache_dir()
 
     def _jit():
-        return mixed.make_fit_mixed(
+        maker = {
+            "fit": mixed.make_fit_mixed,
+            "fit_tau": mixed.make_fit_mixed_tau,
+            "fit_adaptive": mixed.make_fit_mixed_adaptive,
+        }[kind]
+        return maker(
             cfg_h, cfg_f, f_bias, polish_meanfield, polish_icm,
             f_scope=f_scope,
         )
@@ -214,7 +223,7 @@ def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.5,
     path = os.path.join(
         cache_dir,
         cache_key_mixed(cfg_h, cfg_f, f_bias, polish_meanfield,
-                        polish_icm, f_scope) + ".bin",
+                        polish_icm, f_scope, kind) + ".bin",
     )
     if os.path.exists(path):
         try:
@@ -229,7 +238,13 @@ def cached_fit_mixed(cfg_h, cfg_f, f_bias: float = 0.5,
             n = cfg_h.max_points
             x1 = jnp.zeros((n, 2), jnp.float32)
             valid = jnp.ones((n,), jnp.float32)
-            exp = jexport.export(_jit())(x1, x1, valid, jax.random.key(0))
+            ex = (x1, x1, valid, jax.random.key(0))
+            if kind == "fit_tau":
+                ex = ex + (
+                    jnp.asarray(cfg_h.inlier_threshold, jnp.float32),
+                    jnp.asarray(cfg_f.inlier_threshold, jnp.float32),
+                )
+            exp = jexport.export(_jit())(*ex)
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(exp.serialize())

@@ -53,6 +53,7 @@ _FULL_PREFIXES = (
     "tests/test_tpu_parity.py",
     # heavyweight classes inside otherwise-fast modules
     "tests/test_mixed.py::TestMixedScene",
+    "tests/test_mixed.py::TestMixedAdaptiveTau",
     "tests/test_pipeline.py::TestFitTau",
     "tests/test_pipeline.py::TestAdaptiveTau",
     "tests/test_pipeline.py::TestAffinePath",

@@ -60,6 +60,27 @@ class TestMotionSegmentation:
         assert int(np.asarray(res.active).sum()) == 4
         assert err < 6.0, err
 
+    def test_adaptive_tau_noisy(self, f_cfg):
+        """Auto-tau for the fundamental model: the probe's member
+        residuals are scaled by the F-specific median factor (0.466
+        sigma^2 for 1-D Sampson vs 5.85 for the 2-D transfer residual —
+        pipeline._noise_median_factor), so a 1 px scene calibrates to
+        tau ~ 6 sigma instead of the H-factor's 3.6x underestimate
+        (measured here: tau 5.92, err 2.25%)."""
+        cs, _ = data.synthetic_motion_scene(400, 3, 0.2, 1.0, seed=1)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, f_cfg.max_points
+        )
+        res, tau = multih_tpu.make_fit_adaptive(f_cfg)(
+            x1, x2, valid, jax.random.key(0)
+        )
+        assert 4.5 < float(tau) < 7.5, float(tau)
+        assert int(np.asarray(res.active).sum()) == 3
+        err = evaluation.misclassification_error(
+            np.asarray(res.labels), gt, f_cfg.max_labels
+        )
+        assert err < 5.0, err
+
     def test_all_outliers_finds_nothing(self, f_cfg):
         rng = np.random.default_rng(5)
         cs = data.CorrespondenceSet(

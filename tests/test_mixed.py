@@ -133,6 +133,29 @@ class TestMixedScene:
         kept = on_plane & (act[np.clip(lab_h, 0, act.size - 1)] > 0)
         np.testing.assert_array_equal(lab[kept], lab_h[kept])
 
+    def test_traced_tau_matches_static(self, cfgs):
+        """make_fit_mixed_tau at the configs' static thresholds
+        reproduces make_fit_mixed exactly — one executable serves any
+        (tau_h, tau_f) pair (the CLI's restarts under frozen
+        auto-calibrated taus ride this)."""
+        import jax.numpy as jnp
+
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(400, 1, 1, 0.1, 0.5, seed=3)
+        x1, x2, valid, _ = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        key = jax.random.key(2)
+        res_s = mixed.make_fit_mixed(cfg_h, cfg_f)(x1, x2, valid, key)
+        res_t = mixed.make_fit_mixed_tau(cfg_h, cfg_f)(
+            x1, x2, valid, key,
+            jnp.asarray(cfg_h.inlier_threshold, jnp.float32),
+            jnp.asarray(cfg_f.inlier_threshold, jnp.float32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_s.labels), np.asarray(res_t.labels)
+        )
+
     def test_support_and_labels_consistent(self, cfgs):
         cfg_h, cfg_f = cfgs
         cs, _, _ = data.synthetic_mixed_scene(400, 1, 1, 0.1, 0.5, seed=3)
@@ -148,3 +171,77 @@ class TestMixedScene:
                 assert n_l >= min(cfg_h.min_inliers, cfg_f.min_inliers)
             else:
                 assert n_l == 0, (l, n_l)
+
+
+class TestMixedAdaptiveTau:
+    """Per-class self-calibrated thresholds (mixed.fit_mixed_adaptive):
+    two single-class probes -> shared-noise sigma from the per-model
+    residual-median minimum -> tau_c = 6 sigma (see
+    estimate_tau_mixed's docstring for why the probe must NOT be a
+    mixed fit). Bounds carry measured margins: the calibration runs
+    found {sigma=1.0 seed 11: taus 5.63/5.63, err 0.67; sigma=0.2
+    seed 3: floors 3.0/1.5, err 0.33; sigma=1.0 seed 4: taus 5.0/5.0,
+    err 0.67 where fixed tau=3 scores 12.67}."""
+
+    def test_noisy_scene_beats_static_tau(self, cfgs):
+        """sigma=1 px: the default tau=3 loses both planes to the motion
+        class (measured 5.67%); the calibrated ~6 sigma taus recover the
+        full 2-plane + 1-motion structure."""
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(600, 2, 1, 0.1, 1.0, seed=11)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        res, tau_h, tau_f = mixed.make_fit_mixed_adaptive(cfg_h, cfg_f)(
+            x1, x2, valid, jax.random.key(0)
+        )
+        assert 4.5 < float(tau_h) < 7.5, float(tau_h)
+        assert 4.0 < float(tau_f) < 7.5, float(tau_f)
+        n_h, n_f = class_counts(res, cfg_h)
+        assert (n_h, n_f) == (2, 1), (n_h, n_f)
+        err = evaluation.misclassification_error(
+            np.asarray(res.labels), gt,
+            cfg_h.max_labels + cfg_f.max_labels,
+        )
+        assert err < 3.0, err
+
+    def test_low_noise_hits_per_class_floors(self, cfgs):
+        """sigma=0.2 px: both taus clip to their per-class floors (3 px
+        for the 2-D transfer threshold, 1.5 for the 1-D epipolar one)
+        and accuracy matches the static fit."""
+        cfg_h, cfg_f = cfgs
+        cs, _, _ = data.synthetic_mixed_scene(600, 2, 1, 0.1, 0.2, seed=3)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        res, tau_h, tau_f = mixed.make_fit_mixed_adaptive(cfg_h, cfg_f)(
+            x1, x2, valid, jax.random.key(0)
+        )
+        assert abs(float(tau_h) - 3.0) < 1e-5, float(tau_h)
+        assert float(tau_f) <= 2.0, float(tau_f)
+        n_h, n_f = class_counts(res, cfg_h)
+        assert (n_h, n_f) == (2, 1), (n_h, n_f)
+        err = evaluation.misclassification_error(
+            np.asarray(res.labels), gt,
+            cfg_h.max_labels + cfg_f.max_labels,
+        )
+        assert err < 3.0, err
+
+    def test_pure_plane_scene_still_spawns_no_motions(self, cfgs):
+        """The containment guard must survive calibration: an adaptive
+        fit on an all-planar scene spawns no fundamental matrices."""
+        cfg_h, cfg_f = cfgs
+        cs, _ = data.synthetic_scene(500, 3, 0.1, 0.5, seed=2)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        res, tau_h, tau_f = mixed.make_fit_mixed_adaptive(cfg_h, cfg_f)(
+            x1, x2, valid, jax.random.key(0)
+        )
+        n_h, n_f = class_counts(res, cfg_h)
+        assert (n_h, n_f) == (3, 0), (n_h, n_f)
+        err = evaluation.misclassification_error(
+            np.asarray(res.labels), gt,
+            cfg_h.max_labels + cfg_f.max_labels,
+        )
+        assert err < 3.0, err

@@ -587,3 +587,66 @@ class TestMixedFitCpuTpuAgreement:
               f"agreement {agree:.2f}%")
         assert err_t < 8.0, err_t
         assert agree >= 95.0, agree
+
+class TestMixedAdaptiveCpuTpuAgreement:
+    """Round-5 entry (VERDICT r4 task 8): the per-class adaptive-tau
+    mixed fit — two single-class probes, shared-noise calibration, final
+    mixed fit (mixed.fit_mixed_adaptive) — on TPU vs the CPU backend.
+    The calibrated taus are the sensitive part: they flow through
+    sorted-median reductions whose inputs differ by backend-accumulation
+    order, so both the taus and the final labels are compared."""
+
+    def test_adaptive_taus_and_labels_agree(self):
+        import dataclasses
+
+        import multih_tpu
+        from multih_tpu.models import mixed
+        from multih_tpu.utils import data, evaluation
+
+        cfg_h = multih_tpu.MultiHConfig(
+            max_points=640, n_hypotheses=2048, max_labels=8,
+        )
+        cfg_f = multih_tpu.MultiHConfig(
+            max_points=640, n_hypotheses=2048, max_labels=8,
+            model="fundamental", residual="sampson",
+            inlier_threshold=3.0,
+        )
+        # 1 px noise: the scene where calibration MATTERS (static tau=3
+        # loses both planes, measured 5.67% -> calibrated 0.67%)
+        cs, _, _ = data.synthetic_mixed_scene(600, 2, 1, 0.1, 1.0,
+                                              seed=11)
+        x1, x2, valid, gt = multih_tpu.pad_points(
+            cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+        )
+        k_union = cfg_h.max_labels + cfg_f.max_labels
+        res_t, th_t, tf_t = mixed.make_fit_mixed_adaptive(cfg_h, cfg_f)(
+            x1, x2, valid, jax.random.key(0)
+        )
+        lab_t = np.asarray(res_t.labels)[: cs.n_points]
+        cfg_hc = dataclasses.replace(cfg_h, use_pallas=False)
+        cfg_fc = dataclasses.replace(cfg_f, use_pallas=False)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            res_c, th_c, tf_c = mixed.make_fit_mixed_adaptive(
+                cfg_hc, cfg_fc
+            )(jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+              jax.random.key(0))
+            lab_c = np.asarray(res_c.labels)[: cs.n_points]
+        err_t = evaluation.misclassification_error(
+            lab_t, cs.gt_labels, k_union
+        )
+        err_c = evaluation.misclassification_error(
+            lab_c, cs.gt_labels, k_union
+        )
+        agree = 100.0 - evaluation.misclassification_error(
+            lab_t, lab_c, k_union, gt_outlier=k_union
+        )
+        print(f"\nmixed adaptive TPU tau=({float(th_t):.2f},"
+              f"{float(tf_t):.2f}) miscls {err_t:.2f}%  CPU tau="
+              f"({float(th_c):.2f},{float(tf_c):.2f}) miscls "
+              f"{err_c:.2f}%  agreement {agree:.2f}%")
+        assert abs(float(th_t) - float(th_c)) < 0.5, (th_t, th_c)
+        assert abs(float(tf_t) - float(tf_c)) < 0.5, (tf_t, tf_c)
+        assert 4.5 < float(th_t) < 7.5, float(th_t)
+        assert err_t < 3.0, err_t
+        assert agree >= 95.0, agree
