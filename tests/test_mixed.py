@@ -245,3 +245,96 @@ class TestMixedAdaptiveTau:
             cfg_h.max_labels + cfg_f.max_labels,
         )
         assert err < 3.0, err
+
+
+class TestSigmaEstimator:
+    """Fast unit tier for the shared-noise machinery (the full-tier
+    class above certifies it end-to-end)."""
+
+    def test_per_model_sigma_reads_each_models_own_members(self):
+        """Hand-built residuals/labels: each model's sigma comes from
+        the median of ITS members only, under-membered models are
+        disqualified, and padded points are excluded."""
+        import jax.numpy as jnp
+
+        k, n = 3, 40
+        labels = np.full(n, k, np.int32)
+        labels[:20] = 0          # model 0: 20 members
+        labels[20:25] = 1        # model 1: 5 members (< min_inliers)
+        r = np.zeros((k, n), np.float32)
+        r[0, :20] = 4.0          # median r^2 = 4 -> sigma = 2/sqrt(f)
+        r[1, 20:25] = 100.0
+        valid = np.ones(n, np.float32)
+        valid[-8:] = 0.0         # padded points carry label k anyway
+        from multih_tpu.models.mixed import _per_model_sigma
+
+        sigma, ok = _per_model_sigma(
+            jnp.asarray(r), jnp.asarray(labels), jnp.asarray(valid),
+            k, factor=1.0, min_inliers=10,
+        )
+        assert np.asarray(ok).tolist() == [True, False, False]
+        assert abs(float(sigma[0]) - 2.0) < 1e-5, np.asarray(sigma)
+
+    def test_shared_minimum_and_fallback(self):
+        """estimate_tau_mixed takes the min over BOTH classes' qualified
+        models (contaminated models only over-estimate) and falls back
+        to the static thresholds when nothing qualifies."""
+        import jax.numpy as jnp
+
+        from multih_tpu.models import mixed, pipeline
+        from multih_tpu.models.pipeline import FitResult
+
+        cfg_h = multih_tpu.MultiHConfig(max_points=64, max_labels=2,
+                                        min_inliers=10)
+        cfg_f = multih_tpu.MultiHConfig(
+            max_points=64, max_labels=2, min_inliers=10,
+            model="fundamental", residual="sampson",
+            inlier_threshold=3.0,
+        )
+        n = 64
+        rng = np.random.default_rng(0)
+        x1 = jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32))
+        valid = jnp.ones((n,), jnp.float32)
+
+        def mk(labels):
+            z = jnp.zeros
+            return FitResult(
+                labels=jnp.asarray(labels, jnp.int32),
+                homographies=jnp.eye(3, dtype=jnp.float32)[None].repeat(
+                    2, 0
+                ),
+                active=jnp.ones((2,), jnp.float32),
+                support=z((2,)), energy=z(()), energy_trace=z((1,)),
+                n_hypotheses_ok=jnp.zeros((), jnp.int32),
+                n_far_dropped=jnp.zeros((), jnp.int32),
+            )
+
+        # identity H on x1==x2 -> zero residuals -> sigma ~ 0 -> floors
+        res_h = mk(np.r_[np.zeros(32), np.full(32, 2)])
+        res_f = mk(np.full(n, 2))  # no F members: H side must carry it
+        tau_h, tau_f = mixed.estimate_tau_mixed(
+            res_h, res_f, x1, x1, valid, cfg_h, cfg_f
+        )
+        assert abs(float(tau_h) - 3.0) < 1e-5, float(tau_h)
+        assert abs(float(tau_f) - 1.5) < 1e-5, float(tau_f)
+
+        # nothing qualifies anywhere -> both static thresholds
+        res_none = mk(np.full(n, 2))
+        tau_h, tau_f = mixed.estimate_tau_mixed(
+            res_none, res_none, x1, x1, valid, cfg_h, cfg_f
+        )
+        assert abs(float(tau_h) - cfg_h.inlier_threshold) < 1e-5
+        assert abs(float(tau_f) - cfg_f.inlier_threshold) < 1e-5
+
+    def test_factor_table_per_model_class(self):
+        """The measured median factors behind every adaptive path."""
+        cfg_h = multih_tpu.MultiHConfig()
+        cfg_fs = multih_tpu.MultiHConfig(model="fundamental",
+                                         residual="sampson")
+        cfg_fy = multih_tpu.MultiHConfig(model="fundamental",
+                                         residual="symmetric")
+        from multih_tpu.models.pipeline import _noise_median_factor
+
+        assert _noise_median_factor(cfg_h) == 5.85
+        assert _noise_median_factor(cfg_fs) == 0.466
+        assert _noise_median_factor(cfg_fy) == 1.874
