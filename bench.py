@@ -488,9 +488,13 @@ def main():
 
     # persistent compile cache: the five bench configs cost ~60 s of XLA
     # compilation each when cold; reruns are seconds
+    from multih_tpu.utils.cache import compile_cache_dir
+
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("MULTIH_CACHE", "/tmp/multih_jax_cache"),
+        compile_cache_dir(
+            os.environ.get("MULTIH_CACHE", "/tmp/multih_jax_cache")
+        ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     # pair latency first: the 64k-hypothesis sweep leaves the axon-tunneled

@@ -35,6 +35,9 @@ def main():
                                   and len(sys.argv) > 3):
         cache = sys.argv[2] if variant == "cached" else sys.argv[3]
         import os
+        from multih_tpu.utils.cache import compile_cache_dir
+
+        cache = compile_cache_dir(cache)
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

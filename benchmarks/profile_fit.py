@@ -66,6 +66,9 @@ def main():
     cache = os.environ.get("MULTIH_JIT_CACHE",
                            os.path.join(os.path.expanduser("~"),
                                         ".cache", "multih_tpu_jit"))
+    from multih_tpu.utils.cache import compile_cache_dir
+
+    cache = compile_cache_dir(cache)
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

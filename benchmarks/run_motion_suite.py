@@ -57,7 +57,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/multih_jax_cache")
+    from multih_tpu.utils.cache import compile_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir",
+                      compile_cache_dir("/tmp/multih_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import multih_tpu

@@ -111,7 +111,10 @@ def run_pt_table(n_points: int, n_hyp: int, seed: int = 42):
     from multih_tpu.utils import data, evaluation
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/multih_jax_cache")
+    from multih_tpu.utils.cache import compile_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir",
+                      compile_cache_dir("/tmp/multih_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     devices = jax.devices()
     assert len(devices) >= 8, devices

@@ -106,10 +106,12 @@ def _setup_jax(platform):
     # persistent compilation cache: keeps CLI cold-start acceptable across
     # invocations (SURVEY.md §5 'checkpoint/resume' — the only durable
     # state this pipeline has is compiled executables)
-    cache = os.environ.get(
+    from multih_tpu.utils.cache import compile_cache_dir
+
+    cache = compile_cache_dir(os.environ.get(
         "MULTIH_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "multih_tpu_jit"),
-    )
+    ))
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

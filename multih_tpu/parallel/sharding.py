@@ -179,17 +179,29 @@ def sharded_fit(cfg: MultiHConfig, mesh: Mesh, adaptive: bool = False):
     return f
 
 
-def batched_fit_mixed(cfg_h: MultiHConfig, cfg_f: MultiHConfig, **kw):
+def batched_fit_mixed(cfg_h: MultiHConfig, cfg_f: MultiHConfig,
+                      adaptive: bool = False, **kw):
     """vmapped mixed (plane + motion) fit over a batch of padded pairs —
     the P4 batching surface for `--model mixed` (VERDICT r4 task 8).
 
     Signature: (x1 (B,N,2), x2, valid (B,N), keys (B,)) ->
-    MixedFitResult with leading batch axis. Extra kwargs forward to
-    mixed.fit_mixed (f_bias, polish iterations, ...)."""
+    MixedFitResult with leading batch axis. With `adaptive`, each pair
+    self-calibrates its per-class thresholds inside the batched program
+    (mixed.fit_mixed_adaptive — the mixed analog of batched_fit's
+    adaptive mode). Extra kwargs forward to mixed.fit_mixed (f_bias,
+    polish iterations, probe taus, ...)."""
     from multih_tpu.models import mixed
 
-    def one(x1, x2, valid, key):
-        return mixed.fit_mixed(x1, x2, valid, key, cfg_h, cfg_f, **kw)
+    if adaptive:
+        def one(x1, x2, valid, key):
+            res, _, _ = mixed.fit_mixed_adaptive(
+                x1, x2, valid, key, cfg_h, cfg_f, **kw
+            )
+            return res
+    else:
+        def one(x1, x2, valid, key):
+            return mixed.fit_mixed(x1, x2, valid, key, cfg_h, cfg_f,
+                                    **kw)
 
     return jax.vmap(one, in_axes=(0, 0, 0, 0))
 
@@ -198,17 +210,18 @@ _SHARDED_MIXED_CACHE: dict = {}
 
 
 def sharded_fit_mixed(cfg_h: MultiHConfig, cfg_f: MultiHConfig,
-                      mesh: Mesh):
+                      mesh: Mesh, adaptive: bool = False):
     """Batched mixed fit with the pair axis sharded over the mesh's
     'pair' axis — sharded_fit's analog for the union label space. B must
-    be a multiple of the mesh 'pair' axis size."""
+    be a multiple of the mesh 'pair' axis size. `adaptive` = per-pair
+    per-class threshold self-calibration inside the sharded program."""
     from multih_tpu.models import mixed
 
-    cache_key = (cfg_h, cfg_f, mesh)
+    cache_key = (cfg_h, cfg_f, mesh, adaptive)
     hit = _SHARDED_MIXED_CACHE.get(cache_key)
     if hit is not None:
         return hit
-    vf = batched_fit_mixed(cfg_h, cfg_f)
+    vf = batched_fit_mixed(cfg_h, cfg_f, adaptive=adaptive)
     in_shardings = (
         NamedSharding(mesh, P("pair", None, None)),  # x1
         NamedSharding(mesh, P("pair", None, None)),  # x2

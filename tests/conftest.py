@@ -26,8 +26,12 @@ import jax  # noqa: E402
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: full-pipeline jits are expensive on CPU;
-# cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/multih_jax_cache")
+# cache them across test runs. Host-keyed — a stale cross-machine CPU
+# cache SIGSEGVs on load (multih_tpu/utils/cache.py).
+from multih_tpu.utils.cache import compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  compile_cache_dir("/tmp/multih_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402

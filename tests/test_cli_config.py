@@ -75,3 +75,29 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         labels = np.loadtxt(str(lab_path))
         assert labels.shape == (100,)
+
+
+class TestHostKeyedCompileCache:
+    """Every persistent-compile-cache site must key the directory by the
+    host CPU fingerprint: XLA:CPU AOT blobs embed the compile machine's
+    feature set, and a /tmp cache carried across machines SIGSEGV'd the
+    suite on load (multih_tpu/utils/cache.py)."""
+
+    def test_fingerprint_stable_and_dir_keyed(self):
+        from multih_tpu.utils.cache import (
+            compile_cache_dir,
+            host_fingerprint,
+        )
+
+        fp = host_fingerprint()
+        assert len(fp) == 8 and fp == host_fingerprint()
+        int(fp, 16)  # hex digest
+        assert compile_cache_dir("/tmp/base") == f"/tmp/base-{fp}"
+
+    def test_conftest_uses_keyed_dir(self):
+        import jax
+
+        from multih_tpu.utils.cache import host_fingerprint
+
+        d = jax.config.jax_compilation_cache_dir
+        assert d is not None and d.endswith(host_fingerprint()), d

@@ -383,3 +383,93 @@ class TestPointSharding:
         mesh = sharding.make_pt_mesh(jax.devices()[:8])
         with pytest.raises(AssertionError):
             sharding.pt_sharded_fit(cfg, mesh)  # 512 < 256*8
+
+
+class TestMixedSharding:
+    """The pair-sharded MIXED path (sharding.sharded_fit_mixed): P4
+    batching + P3 pair sharding for the union label space, previously
+    exercised only by the driver dryrun (__graft_entry__)."""
+
+    @pytest.fixture(scope="class")
+    def mx_cfgs(self):
+        cfg_h = multih_tpu.MultiHConfig(
+            max_points=256, n_hypotheses=512, n_candidates=64,
+            max_labels=4,
+        )
+        cfg_f = multih_tpu.MultiHConfig(
+            max_points=256, n_hypotheses=512, n_candidates=64,
+            max_labels=4, model="fundamental", residual="sampson",
+            inlier_threshold=3.0,
+        )
+        return cfg_h, cfg_f
+
+    def _batch(self, cfg_h, noises):
+        import jax.numpy as jnp
+
+        xs, gts = [], []
+        for b, nz in enumerate(noises):
+            cs, _, _ = data.synthetic_mixed_scene(
+                220, 1, 1, 0.1, nz, seed=40 + b
+            )
+            x1, x2, v, g = multih_tpu.pad_points(
+                cs.x1, cs.x2, cs.gt_labels, cfg_h.max_points
+            )
+            xs.append((jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(v)))
+            gts.append((g, cs.n_points))
+        bx1 = jnp.stack([a for a, _, _ in xs])
+        bx2 = jnp.stack([b_ for _, b_, _ in xs])
+        bv = jnp.stack([c for _, _, c in xs])
+        bk = jax.random.split(jax.random.key(7), len(noises))
+        return bx1, bx2, bv, bk, gts
+
+    def test_sharded_mixed_parity_with_single_device(self, mx_cfgs):
+        """Same batched mixed program on the 8-device vs the 1-device
+        pair mesh: labels and model-activity must match exactly (the
+        pair axis is embarrassingly parallel — sharding it must not
+        change any pair's numerics)."""
+        cfg_h, cfg_f = mx_cfgs
+        bx1, bx2, bv, bk, gts = self._batch(cfg_h, [0.5] * 8)
+        mesh8 = sharding.make_mesh(jax.devices()[:8])
+        mesh1 = sharding.make_mesh(jax.devices()[:1])
+        r8 = sharding.sharded_fit_mixed(cfg_h, cfg_f, mesh8)(
+            bx1, bx2, bv, bk
+        )
+        r1 = sharding.sharded_fit_mixed(cfg_h, cfg_f, mesh1)(
+            bx1, bx2, bv, bk
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r8.labels), np.asarray(r1.labels)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r8.active), np.asarray(r1.active)
+        )
+        k_union = cfg_h.max_labels + cfg_f.max_labels
+        for b, (g, n_b) in enumerate(gts):
+            err = evaluation.misclassification_error(
+                np.asarray(r8.labels[b]), g, k_union
+            )
+            assert err < 10.0, (b, err)
+
+    def test_adaptive_mixed_batch_runs(self, mx_cfgs):
+        """Per-pair per-class threshold self-calibration inside the
+        sharded program: one compile serves a batch whose pairs carry
+        DIFFERENT noise levels — exactly the situation per-pair taus
+        exist for."""
+        cfg_h, cfg_f = mx_cfgs
+        noises = [0.3, 0.5, 0.8, 1.0, 0.3, 0.5, 0.8, 1.0]
+        bx1, bx2, bv, bk, gts = self._batch(cfg_h, noises)
+        mesh = sharding.make_mesh(jax.devices()[:8])
+        res = sharding.sharded_fit_mixed(
+            cfg_h, cfg_f, mesh, adaptive=True
+        )(bx1, bx2, bv, bk)
+        k_union = cfg_h.max_labels + cfg_f.max_labels
+        act = np.asarray(res.active)
+        isf = np.asarray(res.is_f)
+        for b, (g, n_b) in enumerate(gts):
+            err = evaluation.misclassification_error(
+                np.asarray(res.labels[b]), g, k_union
+            )
+            n_h = int(act[b][isf[b] == 0].sum())
+            n_f = int(act[b][isf[b] == 1].sum())
+            assert (n_h, n_f) == (1, 1), (b, noises[b], n_h, n_f)
+            assert err < 12.0, (b, noises[b], err)
